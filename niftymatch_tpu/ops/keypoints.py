@@ -1,0 +1,248 @@
+"""DoG extrema detection with sub-pixel refinement, dense + branchless.
+
+Reference parity (``src/gpu/kernels/keypoint.cu``):
+
+* 26-neighbour strict extremum test over three DoG slices
+  (``is_maxima<fgt/flt>`` ``keypoint.cu:19-106``), applied to interior pixels
+  (``x, y in [1, size-2]``, ``keypoint.cu:191``); maxima are tested when
+  ``c >= 0.8 * peak_threshold`` and minima when ``c <= 0.8 * peak_threshold``
+  (``keypoint.cu:195-196``).
+* 3-D quadratic sub-pixel refinement (``subpixel_refinement``
+  ``keypoint.cu:108-180``): finite-difference gradient + Hessian, solve
+  ``H d = -g``, accept iff the interpolated response passes the peak
+  threshold, the edge test ``(fxx+fyy)^2/(fxx fyy - fxy^2) <
+  (e+1)^2/e`` holds, and ``|dx|,|dy|,|ds| < 1``.
+* Accepted keypoints are written as ``(x+dx)*xper, (y+dy)*xper,
+  sigma_0 * 2^((level+ds)/num_dogs) * xper, level`` (``keypoint.cu:172-175``).
+
+Design notes (TPU-first, SURVEY.md §7.1-2):
+
+* All ``num_dog_levels`` triples are processed as one batched stencil over a
+  ``(L, H, W)`` stack — no per-level kernel launches, no texture re-uploads
+  (the reference re-binds textures every call, ``siftfunctions.cu:105-116``).
+* The refinement's data-dependent Gaussian elimination with partial pivoting
+  (``keypoint.cu:137-164``) is replaced by a branchless closed-form 3x3 solve
+  (Cramer's rule); identical in exact arithmetic, masked on ~singular
+  Hessians with the same 1e-10 scale guard.
+* Candidates never leave the device densely: validity masks + per-level
+  ``top_k`` by |interpolated response| replace the host-syncing
+  ``thrust::copy_if`` compaction (``pyramidata.cu:84-91``, the "super slow"
+  path flagged at ``siftfunctions.cu:143``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SiftConfig
+
+
+class Keypoints(NamedTuple):
+    """Fixed-capacity keypoint set (dense-map analogue of ``_key_pts``
+    float4 entries, ``pyramidata.h:75``), plus response for ranking."""
+
+    x: jnp.ndarray         # (..., K) refined x in input-image coords
+    y: jnp.ndarray         # (..., K) refined y in input-image coords
+    sigma: jnp.ndarray     # (..., K) absolute scale
+    level: jnp.ndarray     # (..., K) DoG level index within octave (int32)
+    response: jnp.ndarray  # (..., K) |interpolated DoG value|
+    valid: jnp.ndarray     # (..., K) bool
+
+
+def _shift2d(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Shift the last two axes so result[..., y, x] = a[..., y+dy, x+dx].
+
+    Uses roll; wrap-around only corrupts border pixels, which the extremum
+    test masks out (interior-only, like ``keypoint.cu:191``).
+    """
+    return jnp.roll(a, shift=(-dy, -dx), axis=(-2, -1))
+
+
+_NEIGHBORS_8 = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1) if (dy, dx) != (0, 0)]
+_NEIGHBORS_9 = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+
+def extrema_mask(dog: jnp.ndarray, peak_threshold: float) -> jnp.ndarray:
+    """Strict 26-neighbour extremum mask for interior DoG triples.
+
+    ``dog``: (num_dogs, H, W).  Returns bool (num_dogs - 2, H, W) aligned to
+    keypoint levels w = 0..num_dog_levels-1 (DoG slice w+1 is the centre).
+    """
+    cur = dog[1:-1]
+    down = dog[:-2]
+    up = dog[2:]
+    c = cur
+
+    is_max = jnp.ones(c.shape, dtype=bool)
+    is_min = jnp.ones(c.shape, dtype=bool)
+    for dy, dx in _NEIGHBORS_8:
+        n = _shift2d(cur, dy, dx)
+        is_max &= c > n
+        is_min &= c < n
+    for sl in (down, up):
+        for dy, dx in _NEIGHBORS_9:
+            n = _shift2d(sl, dy, dx)
+            is_max &= c > n
+            is_min &= c < n
+
+    thr = 0.8 * peak_threshold
+    mask = ((c >= thr) & is_max) | ((c <= thr) & is_min)
+
+    # interior only (keypoint.cu:191: x,y in [1, size-2])
+    h, w = c.shape[-2:]
+    interior = jnp.zeros((h, w), dtype=bool).at[1:-1, 1:-1].set(True)
+    return mask & interior
+
+
+def refine_keypoints(
+    dog: jnp.ndarray,
+    mask: jnp.ndarray,
+    octave: int,
+    config: SiftConfig,
+):
+    """Dense branchless sub-pixel refinement (``keypoint.cu:108-180``).
+
+    Returns dense per-pixel arrays (L, H, W): x, y, sigma (absolute),
+    response |v|, and the final validity mask.
+    """
+    cur = dog[1:-1]
+    down = dog[:-2]
+    up = dog[2:]
+    c = cur
+
+    def sh(a, dy, dx):
+        return _shift2d(a, dy, dx)
+
+    # gradient (keypoint.cu:119-121)
+    fx = 0.5 * (sh(cur, 0, 1) - sh(cur, 0, -1))
+    fy = 0.5 * (sh(cur, 1, 0) - sh(cur, -1, 0))
+    fs = 0.5 * (up - down)
+
+    # Hessian (keypoint.cu:124-135)
+    fxx = sh(cur, 0, 1) + sh(cur, 0, -1) - 2.0 * c
+    fyy = sh(cur, 1, 0) + sh(cur, -1, 0) - 2.0 * c
+    fss = up + down - 2.0 * c
+    fxy = 0.25 * (sh(cur, 1, 1) + sh(cur, -1, -1) - sh(cur, 1, -1) - sh(cur, -1, 1))
+    fxs = 0.25 * (sh(up, 0, 1) + sh(down, 0, -1) - sh(up, 0, -1) - sh(down, 0, 1))
+    fys = 0.25 * (sh(up, 1, 0) + sh(down, -1, 0) - sh(up, -1, 0) - sh(down, 1, 0))
+
+    # Solve [fxx fxy fxs; fxy fyy fys; fxs fys fss] d = -(fx, fy, fs) via
+    # Cramer's rule — closed-form equivalent of the reference's pivoted
+    # elimination (keypoint.cu:137-164), masked on near-singular systems.
+    det = (
+        fxx * (fyy * fss - fys * fys)
+        - fxy * (fxy * fss - fys * fxs)
+        + fxs * (fxy * fys - fyy * fxs)
+    )
+    # Scale-aware singularity guard mirroring the reference's 1e-10 pivot
+    # floors (keypoint.cu:143,158,161).
+    solvable = jnp.abs(det) > 1e-30
+    safe_det = jnp.where(solvable, det, 1.0)
+    bx, by, bs = -fx, -fy, -fs
+    dx = (
+        bx * (fyy * fss - fys * fys)
+        - fxy * (by * fss - fys * bs)
+        + fxs * (by * fys - fyy * bs)
+    ) / safe_det
+    dy = (
+        fxx * (by * fss - fys * bs)
+        - bx * (fxy * fss - fys * fxs)
+        + fxs * (fxy * bs - by * fxs)
+    ) / safe_det
+    ds = (
+        fxx * (fyy * bs - by * fys)
+        - fxy * (fxy * bs - by * fxs)
+        + bx * (fxy * fys - fyy * fxs)
+    ) / safe_det
+
+    # interpolated response (keypoint.cu:165)
+    v = c + 0.5 * (dx * fx + dy * fy + ds * fs)
+
+    # edge test (keypoint.cu:166-169)
+    det2 = fxx * fyy - fxy * fxy
+    edge_score = (fxx + fyy) * (fxx + fyy) / jnp.where(det2 == 0.0, 1e-30, det2)
+    e = config.edge_threshold
+    edge_ok = edge_score < (e + 1.0) * (e + 1.0) / e
+    if not config.compat.accept_negative_edge_score:
+        edge_ok &= det2 > 0.0
+
+    accept = (
+        mask
+        & solvable
+        & (jnp.abs(v) > config.peak_threshold)
+        & edge_ok
+        & (jnp.abs(dx) < 1.0)
+        & (jnp.abs(dy) < 1.0)
+        & (jnp.abs(ds) < 1.0)
+    )
+
+    xper = float(2.0 ** octave)
+    h, w = c.shape[-2:]
+    gx = jax.lax.broadcasted_iota(jnp.float32, c.shape, 2)
+    gy = jax.lax.broadcasted_iota(jnp.float32, c.shape, 1)
+    lvl = jax.lax.broadcasted_iota(jnp.float32, c.shape, 0)
+
+    x_ref = (gx + dx) * xper                      # keypoint.cu:172
+    y_ref = (gy + dy) * xper                      # keypoint.cu:173
+    sigma = (
+        config.sigma_0
+        * jnp.exp2((lvl + ds) / config.num_dog_levels)
+        * xper
+    )                                             # keypoint.cu:174
+    return x_ref, y_ref, sigma, jnp.abs(v), accept
+
+
+def detect_keypoints(
+    dog: jnp.ndarray,
+    octave: int,
+    config: SiftConfig,
+    mask_image: jnp.ndarray | None = None,
+) -> Keypoints:
+    """Detect + refine + select top-K keypoints per level of one octave.
+
+    ``dog``: (num_dogs, H, W) DoG stack.  ``mask_image`` optionally restricts
+    detection, mirroring ``compute_keypoints_with_mask``
+    (``siftfunctions.cu:65-98``): a pixel participates iff the mask sampled
+    at its *input-image* position is >= 1.
+
+    Returns per-level ``Keypoints`` with shape (num_dog_levels, K).
+    """
+    mask = extrema_mask(dog, config.peak_threshold)
+    if mask_image is not None:
+        xper = 2 ** octave
+        m = mask_image[:: xper, : : xper][: dog.shape[-2], : dog.shape[-1]]
+        mask = mask & (m >= 1.0)[None, :, :]
+
+    x, y, sigma, resp, valid = refine_keypoints(dog, mask, octave, config)
+
+    k = config.max_keypoints_per_level
+    L = x.shape[0]
+    flat_scores = jnp.where(valid, resp, -jnp.inf).reshape(L, -1)
+    # Tiny octaves can hold fewer pixels than the capacity; pad so the
+    # fixed-capacity output shape is preserved.
+    if flat_scores.shape[1] < k:
+        pad = k - flat_scores.shape[1]
+        flat_scores = jnp.pad(flat_scores, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        padded = True
+    else:
+        padded = False
+    top_scores, top_idx = jax.lax.top_k(flat_scores, k)
+
+    def take(a):
+        flat = a.reshape(L, -1)
+        if padded:
+            flat = jnp.pad(flat, ((0, 0), (0, k - flat.shape[1])))
+        return jnp.take_along_axis(flat, top_idx, axis=1)
+
+    sel_valid = jnp.isfinite(top_scores)
+    return Keypoints(
+        x=take(x),
+        y=take(y),
+        sigma=take(sigma),
+        level=jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[:, None], (L, k)),
+        response=jnp.where(sel_valid, top_scores, 0.0),
+        valid=sel_valid,
+    )

@@ -1,0 +1,115 @@
+"""End-to-end SIFT pipeline driver — the orchestrator the reference lacks.
+
+The reference library ships 7 per-stage functions (``siftfunctions.h:19-101``)
+and requires the *client* to loop octaves calling ``convolve`` /
+``downsample_by_2`` itself (SURVEY.md §1, §3.1).  This module is that
+missing driver, as a single jittable function:
+
+    detect_and_describe(image, config) -> Features
+
+Per octave (static shapes, small unrolled Python loop inside one ``jit``):
+Gaussian stack -> DoG -> gradients -> batched extrema + sub-pixel refinement
+-> per-level top-k -> orientation histograms -> descriptor GEMMs; features
+from all octaves are then merged by a global top-k on |DoG| response into a
+fixed ``max_features`` capacity (replacing the reference's first-come
+capacity clamp at ``siftfunctions.cu:165-178``).
+
+Matching (``match_pair``) reproduces ``compute_sift_matches``
+(``siftfunctions.cu:15-40``) as a distance GEMM + ratio test.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .config import PipelineConfig, SiftConfig
+from .features import Features, concat_features, topk_features
+from .ops.descriptor import compute_descriptors
+from .ops.keypoints import detect_keypoints
+from .ops.match import MatchResult, match_descriptors
+from .ops.orientation import compute_orientations
+from .ops.pyramid import build_pyramid
+
+
+def _octave_features(octave_idx, octave_data, config: SiftConfig) -> Features:
+    kpts = detect_keypoints(octave_data.dog, octave_idx, config)
+    angles, avalid = compute_orientations(kpts, octave_data.grad, octave_idx, config)
+    desc, dvalid = compute_descriptors(
+        kpts, angles, avalid, octave_data.grad, octave_idx, config
+    )
+    L, K = kpts.x.shape
+    flat = lambda a: a.reshape(L * K, *a.shape[2:])
+    return Features(
+        x=flat(kpts.x),
+        y=flat(kpts.y),
+        sigma=flat(kpts.sigma),
+        angle=flat(jnp.where(avalid[..., 0], angles[..., 0], 0.0)),
+        response=flat(kpts.response),
+        octave=jnp.full((L * K,), octave_idx, jnp.int32),
+        level=flat(kpts.level),
+        desc=flat(desc),
+        valid=flat(dvalid),
+    )
+
+
+def detect_and_describe(image: jnp.ndarray, config: SiftConfig) -> Features:
+    """Full SIFT detection on a float32 grayscale (H, W) image.
+
+    Jit this (config is static via closure / partial) once per image size.
+    """
+    octaves = build_pyramid(image, config)
+    parts = [
+        _octave_features(o, data, config) for o, data in enumerate(octaves)
+    ]
+    return topk_features(concat_features(parts), config.max_features)
+
+
+def match_pair(
+    feats_a: Features,
+    feats_b: Features,
+    ambiguity: float = 0.8,
+    precision: str = "fp32",
+) -> MatchResult:
+    """Match features of two images (``compute_sift_matches`` equivalent)."""
+    return match_descriptors(
+        feats_a.desc,
+        feats_b.desc,
+        ambiguity=ambiguity,
+        a_valid=feats_a.valid,
+        b_valid=feats_b.valid,
+        precision=precision,
+    )
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _detect_jit(image, _dummy, config: SiftConfig):
+    return detect_and_describe(image, config)
+
+
+def make_detector(config: SiftConfig):
+    """Returns a jitted ``image -> Features`` closure for a fixed image size."""
+
+    @jax.jit
+    def detect(image):
+        return detect_and_describe(image, config)
+
+    return detect
+
+
+def make_pair_pipeline(config: PipelineConfig):
+    """Returns a jitted ``(img_a, img_b) -> (Features, Features, MatchResult)``
+    for the flagship detect+match forward step (BASELINE config 1)."""
+
+    @jax.jit
+    def run(img_a, img_b):
+        fa = detect_and_describe(img_a, config.sift)
+        fb = detect_and_describe(img_b, config.sift)
+        m = match_pair(
+            fa, fb, config.match.ambiguity, config.match.precision
+        )
+        return fa, fb, m
+
+    return run

@@ -1,0 +1,39 @@
+"""Test configuration: force an 8-device CPU mesh so sharding paths are
+exercised without TPU hardware (SURVEY.md §4: multi-host tests via
+``xla_force_host_platform_device_count`` CPU-mesh simulation)."""
+
+import os
+
+# Must run before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session")
+def test_image(rng):
+    """A structured synthetic 128x96 image with blobs at known positions."""
+    h, w = 96, 128
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.zeros((h, w), np.float32)
+    blobs = [(24.0, 32.0, 3.0, 200.0), (48.0, 80.0, 5.0, 180.0), (70.0, 40.0, 2.5, 220.0)]
+    for (by, bx, bs, amp) in blobs:
+        img += amp * np.exp(-((yy - by) ** 2 + (xx - bx) ** 2) / (2 * bs**2))
+    img += rng.normal(0.0, 1.0, (h, w)).astype(np.float32)
+    return img

@@ -1,0 +1,112 @@
+"""End-to-end SIFT detect + describe + match tests (BASELINE config 1)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from niftymatch_tpu import (
+    Features,
+    SiftConfig,
+    PipelineConfig,
+    detect_and_describe,
+    make_detector,
+    make_pair_pipeline,
+    match_pair,
+)
+from niftymatch_tpu.features import concat_features, topk_features
+
+
+def _structured_image(h, w, seed=0, n_blobs=25):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.zeros((h, w), np.float32)
+    for _ in range(n_blobs):
+        by, bx = rng.uniform(8, h - 8), rng.uniform(8, w - 8)
+        bs = rng.uniform(1.5, 6.0)
+        amp = rng.uniform(80, 255) * rng.choice([-1, 1])
+        img += amp * np.exp(-((yy - by) ** 2 + (xx - bx) ** 2) / (2 * bs**2))
+    return img + 128.0
+
+
+def test_detect_and_describe_runs_and_is_deterministic():
+    img = _structured_image(96, 128, seed=1)
+    c = SiftConfig(width=128, height=96, max_keypoints_per_level=64, max_features=256)
+    f1 = detect_and_describe(jnp.asarray(img), c)
+    f2 = detect_and_describe(jnp.asarray(img), c)
+    assert isinstance(f1, Features)
+    assert int(f1.count()) > 10
+    np.testing.assert_array_equal(np.asarray(f1.x), np.asarray(f2.x))
+    np.testing.assert_array_equal(np.asarray(f1.desc), np.asarray(f2.desc))
+
+
+def test_detect_jit_compiles_and_matches_eager():
+    img = _structured_image(96, 128, seed=2)
+    c = SiftConfig(width=128, height=96, max_keypoints_per_level=64, max_features=256)
+    detect = make_detector(c)
+    fj = detect(jnp.asarray(img))
+    fe = detect_and_describe(jnp.asarray(img), c)
+    np.testing.assert_allclose(np.asarray(fj.x), np.asarray(fe.x), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(fj.desc), np.asarray(fe.desc), atol=1e-3)
+
+
+def test_features_are_ranked_and_masked():
+    img = _structured_image(96, 128, seed=3)
+    c = SiftConfig(width=128, height=96, max_keypoints_per_level=64, max_features=64)
+    f = detect_and_describe(jnp.asarray(img), c)
+    v = np.asarray(f.valid)
+    r = np.asarray(f.response)
+    assert np.all(np.diff(r[v]) <= 1e-6)  # descending response
+    # valid features have unit-ish descriptors (normalised by default)
+    norms = np.linalg.norm(np.asarray(f.desc)[v], axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-2)
+
+
+def test_shifted_image_matches():
+    """An integer-shifted copy must match with near-identical descriptors and
+    a consistent coordinate offset — the repeatability sanity from
+    SURVEY.md §7 M1."""
+    base = _structured_image(128, 160, seed=4, n_blobs=30)
+    sh = 6
+    img_a = base[:96, :128]
+    img_b = base[sh : 96 + sh, sh : 128 + sh]  # shifted content
+    c = SiftConfig(width=128, height=96, max_keypoints_per_level=64, max_features=256)
+    fa = detect_and_describe(jnp.asarray(img_a), c)
+    fb = detect_and_describe(jnp.asarray(img_b), c)
+    m = match_pair(fa, fb, ambiguity=0.8)
+    idx = np.asarray(m.indices)
+    va = np.asarray(fa.valid)
+    matched = (idx >= 0) & va
+    assert matched.sum() >= 10
+    dxs = np.asarray(fb.x)[idx[matched]] - np.asarray(fa.x)[matched]
+    dys = np.asarray(fb.y)[idx[matched]] - np.asarray(fa.y)[matched]
+    # majority of matches consistent with the true shift (-sh)
+    good = (np.abs(dxs + sh) < 1.0) & (np.abs(dys + sh) < 1.0)
+    assert good.mean() > 0.7, f"inlier ratio {good.mean()}"
+
+
+def test_pair_pipeline_jit():
+    img_a = _structured_image(96, 128, seed=5)
+    img_b = _structured_image(96, 128, seed=5)
+    cfg = PipelineConfig(
+        sift=SiftConfig(width=128, height=96, max_keypoints_per_level=32, max_features=128)
+    )
+    run = make_pair_pipeline(cfg)
+    fa, fb, m = run(jnp.asarray(img_a), jnp.asarray(img_b))
+    idx = np.asarray(m.indices)
+    va = np.asarray(fa.valid)
+    # identical images: every valid feature should match itself-ish
+    matched = (idx >= 0) & va
+    assert matched.sum() >= int(0.8 * va.sum())
+
+
+def test_concat_and_topk_features():
+    f1 = Features.empty(8)
+    f2 = Features.empty(8)
+    f1 = f1._replace(response=jnp.arange(8.0), valid=jnp.ones(8, bool))
+    f2 = f2._replace(response=jnp.arange(8.0) + 100, valid=jnp.arange(8) < 4)
+    cat = concat_features([f1, f2])
+    assert cat.capacity == 16
+    top = topk_features(cat, 6)
+    r = np.asarray(top.response)
+    assert np.all(np.asarray(top.valid))
+    np.testing.assert_array_equal(r, [103, 102, 101, 100, 7, 6])
