@@ -30,6 +30,7 @@ from .config import (
     SIFT_VECTOR_SIZE,
 )
 from .features import Features, concat_features, topk_features
+from .geometry import RansacResult, align_points, ransac
 from .sift import detect_and_describe, make_detector, make_pair_pipeline, match_pair
 
 __version__ = "0.1.0"
@@ -45,7 +46,10 @@ __all__ = [
     "MAX_DESCRIPTORS",
     "SIFT_VECTOR_SIZE",
     "Features",
+    "RansacResult",
+    "align_points",
     "concat_features",
+    "ransac",
     "topk_features",
     "detect_and_describe",
     "make_detector",

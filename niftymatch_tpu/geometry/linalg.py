@@ -1,0 +1,154 @@
+"""Batched small-matrix linear algebra for robust geometry.
+
+The reference carries a device-side one-sided Jacobi SVD ported from GSL
+(``src/gpu/kernels/svd.cu:201-360``) that each RANSAC thread runs serially on
+fixed-size <=9x9 stack matrices.  The TPU-native equivalent is a *cyclic*
+Jacobi eigendecomposition of the normal matrix ``A^T A`` (symmetric PSD,
+n<=9): a fixed number of sweeps of branchless plane rotations, fully
+vectorised so it ``vmap``s over thousands of RANSAC hypotheses at once
+(SURVEY.md §3.3 "batched 9x9 Jacobi SVD via vmap").
+
+Fixed sweep count (no data-dependent convergence test) keeps the program
+static for XLA; 12 sweeps is far past convergence for n<=9 in float32
+(the reference uses sweepmax = max(5n, 12) with an early-out,
+``svd.cu:248``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _jacobi_rotation(app, aqq, apq):
+    """Stable Jacobi rotation angle (c, s) that annihilates A[p,q].
+
+    Branchless: apq == 0 yields theta = 0 -> identity rotation.
+    """
+    theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
+    return jnp.cos(theta), jnp.sin(theta)
+
+
+def jacobi_eigh(A: jnp.ndarray, sweeps: int = 12):
+    """Eigendecomposition of a small symmetric matrix by cyclic Jacobi.
+
+    Args:
+      A: (..., n, n) symmetric, n static and small (<= ~12).
+      sweeps: number of full cyclic sweeps (static).
+
+    Returns:
+      (eigvals (..., n), eigvecs (..., n, n)) with ``A @ V = V @ diag(w)``.
+      Eigenvalues are NOT sorted (use ``smallest_eigvec`` /
+      ``sorted_eigh`` helpers).
+    """
+    n = A.shape[-1]
+    V0 = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
+    pairs = [(p, q) for p in range(n - 1) for q in range(p + 1, n)]
+
+    def sweep(carry, _):
+        A, V = carry
+        for p, q in pairs:
+            c, s = _jacobi_rotation(A[..., p, p], A[..., q, q], A[..., p, q])
+            c = c[..., None]
+            s = s[..., None]
+            # Right-multiply columns p,q of A and V by J(p,q,theta)
+            Ap, Aq = A[..., :, p], A[..., :, q]
+            A = A.at[..., :, p].set(c * Ap - s * Aq)
+            A = A.at[..., :, q].set(s * Ap + c * Aq)
+            # Left-multiply rows p,q of A by J^T
+            Rp, Rq = A[..., p, :], A[..., q, :]
+            A = A.at[..., p, :].set(c * Rp - s * Rq)
+            A = A.at[..., q, :].set(s * Rp + c * Rq)
+            Vp, Vq = V[..., :, p], V[..., :, q]
+            V = V.at[..., :, p].set(c * Vp - s * Vq)
+            V = V.at[..., :, q].set(s * Vp + c * Vq)
+        return (A, V), None
+
+    (Af, Vf), _ = jax.lax.scan(sweep, (A, V0), None, length=sweeps)
+    w = jnp.diagonal(Af, axis1=-2, axis2=-1)
+    return w, Vf
+
+
+def sorted_eigh(A: jnp.ndarray, sweeps: int = 12):
+    """``jacobi_eigh`` with eigenvalues sorted ascending (and matching
+    eigenvector columns)."""
+    w, V = jacobi_eigh(A, sweeps)
+    order = jnp.argsort(w, axis=-1)
+    w_sorted = jnp.take_along_axis(w, order, axis=-1)
+    V_sorted = jnp.take_along_axis(V, order[..., None, :], axis=-1)
+    return w_sorted, V_sorted
+
+
+def smallest_eigvec(A: jnp.ndarray, sweeps: int = 12) -> jnp.ndarray:
+    """Unit eigenvector of the smallest eigenvalue of symmetric ``A``
+    (..., n, n) -> (..., n).  This is the null-space extractor used by the
+    DLT solvers, standing in for the reference's smallest-singular-vector
+    selection after ``linalg_SV_decomp_jacobi`` (``ransac.cu:178-188``)."""
+    w, V = jacobi_eigh(A, sweeps)
+    idx = jnp.argmin(w, axis=-1)
+    v = jnp.take_along_axis(V, idx[..., None, None], axis=-1)[..., 0]
+    norm = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    return v / jnp.maximum(norm, 1e-20)
+
+
+def svd3x3(E: jnp.ndarray, sweeps: int = 12):
+    """SVD of (..., 3, 3) matrices, built from Jacobi eigh of E^T E.
+
+    Returns (U, S, Vt) with E = U @ diag(S) @ Vt, S descending, U/V proper
+    up to column signs (rank-deficient last column of U reconstructed by a
+    cross product, as needed for essential-matrix projection where s3 ~ 0).
+    """
+    w, V = jacobi_eigh(
+        jnp.swapaxes(E, -1, -2) @ E, sweeps
+    )  # E^T E = V S^2 V^T
+    order = jnp.argsort(-w, axis=-1)
+    w = jnp.take_along_axis(w, order, axis=-1)
+    V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
+    S = jnp.sqrt(jnp.maximum(w, 0.0))
+    UV = E @ V  # columns = s_i * u_i
+    safe = jnp.maximum(S[..., None, :], 1e-12)
+    U = UV / safe
+    # Rebuild a possibly-degenerate third left vector from the first two.
+    u3 = jnp.cross(U[..., :, 0], U[..., :, 1], axis=-1)
+    u3n = u3 / jnp.maximum(jnp.linalg.norm(u3, axis=-1, keepdims=True), 1e-20)
+    degenerate = (S[..., 2] < 1e-6 * jnp.maximum(S[..., 0], 1e-20))[..., None]
+    U = U.at[..., :, 2].set(jnp.where(degenerate, u3n, U[..., :, 2]))
+    return U, S, jnp.swapaxes(V, -1, -2)
+
+
+def solve3x3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 solve by adjugate/determinant (branchless; the
+    reference does in-kernel Gaussian elimination with pivoting for its
+    subpixel refinement, ``keypoint.cu:127-160``)."""
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a10, a11, a12 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    a20, a21, a22 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a12 * a20 - a10 * a22
+    c02 = a10 * a21 - a11 * a20
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    c10 = a02 * a21 - a01 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a01 * a20 - a00 * a21
+    c20 = a01 * a12 - a02 * a11
+    c21 = a02 * a10 - a00 * a12
+    c22 = a00 * a11 - a01 * a10
+    adjT = jnp.stack(
+        [
+            jnp.stack([c00, c10, c20], axis=-1),
+            jnp.stack([c01, c11, c21], axis=-1),
+            jnp.stack([c02, c12, c22], axis=-1),
+        ],
+        axis=-2,
+    )
+    safe_det = jnp.where(jnp.abs(det) > 1e-20, det, 1.0)
+    x = (adjT @ b[..., None])[..., 0] / safe_det[..., None]
+    return jnp.where((jnp.abs(det) > 1e-20)[..., None], x, jnp.zeros_like(x))
+
+
+def inv3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Adjugate 3x3 inverse — same math the reference's warp kernel thread-0
+    computes in-kernel (``resample.cu:119-143``)."""
+    e = jnp.broadcast_to(jnp.eye(3, dtype=A.dtype), A.shape)
+    cols = [solve3x3(A, e[..., :, i]) for i in range(3)]
+    return jnp.stack(cols, axis=-1)

@@ -1,0 +1,187 @@
+"""Vmapped RANSAC for 2-D transforms and two-view geometry.
+
+Reference parity (``src/gpu/kernels/ransac.cu``):
+
+* ``align_points`` / ``establish_correspondences`` (:29-59)
+    -> :func:`align_points` — gathers matched pairs into aligned arrays
+      with a validity mask (instead of -1 coordinate sentinels).
+* ``ransac_translation`` (:523-577), ``ransac_similarity`` (:579-635),
+  ``ransac_homography`` (:637-694)
+    -> :func:`ransac` with ``model=`` "translation" / "similarity" /
+      "homography" (plus "essential" / "fundamental", new for SLAM).
+
+TPU-first redesign (SURVEY.md §7.4): the reference copies match indices to
+the host, filters valid ones on CPU, seeds a nondeterministic
+``std::random_device`` ``mt19937``, and launches one CUDA thread per
+hypothesis that serially counts inliers over all points.  Here:
+
+* sampling is deterministic ``jax.random`` (keyed), entirely on device —
+  no host round-trips;
+* per-hypothesis minimal samples are drawn *distinct and valid* via
+  Gumbel-top-k: uniform scores masked to valid points, ``top_k`` picks k
+  distinct indices (the reference instead re-rolls duplicates into a
+  degenerate hypothesis it discards, ``ransac.cu:501-506``);
+* all hypotheses are solved by one ``vmap`` over the mask-weighted solvers;
+* inlier counting is one (hypotheses x points) masked reduction — a
+  VPU-shaped broadcast, no serial loop;
+* winner by ``argmax``; optional least-squares refit on the winner's
+  inliers (new — the reference returns the raw minimal-sample model).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RansacConfig
+from .transforms import (
+    fit_essential,
+    fit_fundamental,
+    fit_homography,
+    fit_similarity,
+    fit_translation,
+    sampson_sq_error,
+    transfer_sq_error,
+)
+
+MIN_SAMPLES = {
+    "translation": 1,   # ransac.cu:529 (k=1)
+    "similarity": 2,    # ransac.cu:585 (k=2)
+    "homography": 4,    # ransac.cu:643 (k=4)
+    "fundamental": 8,
+    "essential": 8,
+}
+
+_FITTERS = {
+    "translation": fit_translation,
+    "similarity": fit_similarity,
+    "homography": fit_homography,
+    "fundamental": fit_fundamental,
+    "essential": fit_essential,
+}
+
+
+def _error_fn(model: str):
+    if model in ("fundamental", "essential"):
+        return sampson_sq_error
+    return transfer_sq_error
+
+
+class RansacResult(NamedTuple):
+    """Fixed-shape RANSAC output (all device values; no host sync)."""
+
+    transform: jnp.ndarray    # (3, 3) best model (H / F / E / similarity...)
+    inliers: jnp.ndarray      # (N,) bool inlier mask under the best model
+    num_inliers: jnp.ndarray  # () int32
+    success: jnp.ndarray      # () bool — enough valid points & nonzero inliers
+
+
+def align_points(
+    xa: jnp.ndarray,
+    ya: jnp.ndarray,
+    xb: jnp.ndarray,
+    yb: jnp.ndarray,
+    match_indices: jnp.ndarray,
+    a_valid: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Gather matched coordinate pairs into aligned (N, 2) arrays + mask.
+
+    Equivalent of ``align_points``/``establish_correspondences``
+    (``ransac.cu:29-59``): row i holds (A_i, B_{match[i]}); unmatched rows
+    are masked out (the reference writes -1 sentinels instead)."""
+    ok = match_indices >= 0
+    if a_valid is not None:
+        ok = ok & a_valid
+    safe = jnp.maximum(match_indices, 0)
+    src = jnp.stack([xa, ya], axis=-1)
+    dst = jnp.stack([xb[safe], yb[safe]], axis=-1)
+    zeros = jnp.zeros_like(src)
+    return (
+        jnp.where(ok[:, None], src, zeros),
+        jnp.where(ok[:, None], dst, zeros),
+        ok,
+    )
+
+
+def _sample_weights(key, mask: jnp.ndarray, iterations: int, k: int):
+    """(iterations, N) one-hot-sum sample weights: each row selects k
+    distinct valid points via Gumbel-top-k."""
+    n = mask.shape[0]
+    g = jax.random.gumbel(key, (iterations, n), dtype=jnp.float32)
+    scores = jnp.where(mask[None, :], g, -jnp.inf)
+    _, idx = jax.lax.top_k(scores, k)  # (iterations, k)
+    w = jnp.zeros((iterations, n), jnp.float32)
+    w = w.at[jnp.arange(iterations)[:, None], idx].set(1.0)
+    # If fewer than k valid points exist, top_k picks -inf columns; zero the
+    # whole row (degenerate hypothesis).
+    enough = jnp.sum(mask) >= k
+    return w * mask[None, :].astype(jnp.float32) * enough
+
+
+def ransac(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    mask: jnp.ndarray,
+    config: RansacConfig = RansacConfig(),
+    model: str = "homography",
+    key: jax.Array | None = None,
+    refit: bool = True,
+) -> RansacResult:
+    """Robust model fit over aligned correspondences.
+
+    Args:
+      src, dst: (N, 2) matched points (fixed capacity).
+      mask: (N,) bool validity.
+      config: iterations / inlier threshold (squared distance, as
+        ``ransac.h:12-34``) / seed.
+      model: one of MIN_SAMPLES keys.
+      key: optional PRNG key (defaults to ``config.seed``).
+      refit: least-squares refit on the winning inlier set (new).
+    """
+    if key is None:
+        key = jax.random.key(config.seed)
+    k = MIN_SAMPLES[model]
+    fitter = _FITTERS[model]
+    err_fn = _error_fn(model)
+
+    weights = _sample_weights(key, mask, config.iterations, k)  # (I, N)
+    models = jax.vmap(fitter)(
+        jnp.broadcast_to(src, (config.iterations, *src.shape)),
+        jnp.broadcast_to(dst, (config.iterations, *dst.shape)),
+        weights,
+    )  # (I, 3, 3)
+
+    errs = jax.vmap(lambda m: err_fn(m, src, dst))(models)  # (I, N)
+    is_inlier = (errs < config.inlier_threshold) & mask[None, :]
+    # Degenerate hypotheses (all-zero weights -> garbage model) are dropped
+    # by requiring the hypothesis actually used k samples.
+    live = jnp.sum(weights, axis=-1) >= k
+    counts = jnp.sum(is_inlier, axis=-1) * live.astype(jnp.int32)
+    best = jnp.argmax(counts)
+
+    transform = models[best]
+    inliers = is_inlier[best]
+    if refit and model != "translation":
+        refit_w = inliers.astype(jnp.float32)
+        # Guard: refit only when the inlier set is at least the minimal size.
+        can = jnp.sum(refit_w) >= k
+        refitted = fitter(src, dst, refit_w)
+        transform = jnp.where(can, refitted, transform)
+        re_err = err_fn(transform, src, dst)
+        re_inl = (re_err < config.inlier_threshold) & mask
+        keep = jnp.sum(re_inl) >= jnp.sum(inliers)
+        transform = jnp.where(keep, transform, models[best])
+        inliers = jnp.where(keep, re_inl, inliers)
+
+    num = jnp.sum(inliers.astype(jnp.int32))
+    # Reference returns false for < k valid correspondences
+    # (ransac.cu:538-541,595-598,653-656); we also require a live winner.
+    success = (jnp.sum(mask.astype(jnp.int32)) >= k) & (num >= k)
+    return RansacResult(
+        transform=transform,
+        inliers=inliers,
+        num_inliers=num,
+        success=success,
+    )

@@ -22,6 +22,15 @@ from .orientation import compute_orientations, pick_peaks, smooth_histogram
 from .descriptor import compute_descriptors, normalize_descriptors
 from .patches import gather_patches
 from .pyramid import OctaveData, build_pyramid, gaussian_kernels
+from .warp import (
+    bilinear_sample,
+    blend_into_mosaic,
+    perspective_coords,
+    remap,
+    undistort_map,
+    warp_mask,
+    warp_perspective,
+)
 
 __all__ = [
     "convolve_separable",
@@ -52,4 +61,11 @@ __all__ = [
     "OctaveData",
     "build_pyramid",
     "gaussian_kernels",
+    "bilinear_sample",
+    "blend_into_mosaic",
+    "perspective_coords",
+    "remap",
+    "undistort_map",
+    "warp_mask",
+    "warp_perspective",
 ]
