@@ -1,0 +1,80 @@
+"""Round benchmark: keyframe throughput of the flagship SIFT front-end.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target: >= 30 keyframes/s/chip (BASELINE.md north star), where one
+keyframe = full SIFT detect + describe on a 640x480 frame plus its share of
+a pairwise descriptor match (the BASELINE config-1 workload).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def make_scene(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0 : h + 16, 0 : w + 16].astype(np.float32)
+    scene = np.zeros_like(yy)
+    for _ in range(120):
+        by, bx = rng.uniform(10, h), rng.uniform(10, w)
+        bs = rng.uniform(2, 7)
+        amp = rng.uniform(60, 255) * rng.choice([-1.0, 1.0])
+        scene += amp * np.exp(-((yy - by) ** 2 + (xx - bx) ** 2) / (2 * bs**2))
+    scene += 128.0
+    return scene
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from niftymatch_tpu import PipelineConfig, SiftConfig, make_pair_pipeline
+
+    h, w = 480, 640
+    # Distinct input pairs per iteration (identical repeated dispatches can
+    # be memoized by the runtime and overstate throughput).
+    n_pairs = 8
+    pairs = []
+    for s in range(n_pairs):
+        scene = make_scene(h, w, seed=s)
+        pairs.append(
+            (
+                jnp.asarray(scene[:h, :w]),
+                jnp.asarray(scene[5 : h + 5, 5 : w + 5]),
+            )
+        )
+
+    run = make_pair_pipeline(PipelineConfig(sift=SiftConfig(width=w, height=h)))
+
+    # Warm-up / compile.
+    for img_a, img_b in pairs[:2]:
+        fa, fb, m = run(img_a, img_b)
+    jax.block_until_ready(m.indices)
+
+    # Timed: each call detects+describes 2 keyframes and matches the pair.
+    iters = 48
+    outs = []
+    start = time.perf_counter()
+    for i in range(iters):
+        img_a, img_b = pairs[i % n_pairs]
+        fa, fb, m = run(img_a, img_b)
+        outs.append(m.indices)
+    jax.block_until_ready(outs)
+    elapsed = time.perf_counter() - start
+
+    kf_per_s = 2.0 * iters / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "keyframes_per_s_per_chip",
+                "value": round(kf_per_s, 2),
+                "unit": "keyframes/s",
+                "vs_baseline": round(kf_per_s / 30.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,208 @@
+"""Fused descriptor-match kernel: distance GEMM + running top-2, one pass.
+
+The reference materialises the full A x B distance matrix twice plus two
+transposes (``siftfunctions.cu:21-34``), then re-scans it for the 2-NN ratio
+test (``match.cu:82-117``).  The jnp oracle (``ops/match.py``) already
+removes the transposes; this kernel removes the materialisation too:
+
+  for each A-tile (grid dim 0), sweep B-tiles (grid dim 1, fastest):
+      D_tile = ||a||^2 + ||b||^2 - 2 a.b        (one MXU dot per tile)
+      fold D_tile into a running per-row (min1, argmin1, min2) in VMEM
+
+HBM traffic drops from O(M*N) distances written+read to O(M + N) descriptor
+reads per tile pair — the kernel is MXU-bound, which is speed-of-light for
+this op.  Accumulator scratch persists across the sequential TPU grid.
+
+Semantics match ``ops.match.top2_min`` exactly: ties resolve to the lowest
+column index; min2 is the smallest distance at any *other* column.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.match import MatchResult
+
+_BIG = 3.4e38  # +inf surrogate that survives arithmetic (Python float so
+               # the kernel doesn't capture a traced constant)
+
+
+def _match_kernel(
+    a_ref,        # (TM, D) A-descriptor tile
+    b_ref,        # (TN, D) B-descriptor tile
+    bvalid_ref,   # (1, TN) 1.0/0.0 B-column validity
+    min1_ref,     # (TM, 1) out
+    idx1_ref,     # (TM, 1) out int32
+    min2_ref,     # (TM, 1) out
+    m1_s,         # (TM, 1) scratch f32
+    i1_s,         # (TM, 1) scratch i32
+    m2_s,         # (TM, 1) scratch f32
+    *,
+    bf16: bool,
+    tn: int,
+):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        m1_s[:] = jnp.full_like(m1_s, _BIG)
+        i1_s[:] = jnp.full_like(i1_s, -1)
+        m2_s[:] = jnp.full_like(m2_s, _BIG)
+
+    a = a_ref[:]
+    b = b_ref[:]
+    if bf16:
+        ab = jax.lax.dot_general(
+            a.astype(jnp.bfloat16),
+            b.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        ab = jax.lax.dot_general(
+            a,
+            b,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    a_norm = jnp.sum(a * a, axis=-1, keepdims=True)          # (TM, 1)
+    b_norm = jnp.sum(b * b, axis=-1)[None, :]                # (1, TN)
+    d = jnp.maximum(a_norm + b_norm - 2.0 * ab, 0.0)         # (TM, TN)
+    d = jnp.where(bvalid_ref[:] > 0.5, d, _BIG)
+
+    # Per-row top-2 within the tile (ties -> lowest column).
+    t1 = jnp.min(d, axis=-1, keepdims=True)                  # (TM, 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    is_min = d == t1
+    first_min_col = jnp.min(
+        jnp.where(is_min, cols, jnp.int32(2**30)), axis=-1, keepdims=True
+    )
+    ti1 = first_min_col + j * tn                             # global index
+    d2 = jnp.where(cols == first_min_col, _BIG, d)
+    t2 = jnp.min(d2, axis=-1, keepdims=True)
+
+    # Merge tile top-2 into the running top-2 (branchless).
+    m1, i1, m2 = m1_s[:], i1_s[:], m2_s[:]
+    better = t1 < m1
+    new1 = jnp.where(better, t1, m1)
+    newi = jnp.where(better, ti1, i1)
+    new2 = jnp.where(better, jnp.minimum(m1, t2), jnp.minimum(m2, t1))
+    m1_s[:] = new1
+    i1_s[:] = newi
+    m2_s[:] = new2
+
+    @pl.when(j == nj - 1)
+    def _flush():
+        min1_ref[:] = m1_s[:]
+        idx1_ref[:] = i1_s[:]
+        min2_ref[:] = m2_s[:]
+
+
+def _pad_to(x: jnp.ndarray, size: int, axis: int, value):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@partial(
+    jax.jit, static_argnames=("tm", "tn", "bf16", "interpret")
+)
+def fused_match_topk(
+    desc_a: jnp.ndarray,
+    desc_b: jnp.ndarray,
+    b_valid: jnp.ndarray | None = None,
+    tm: int = 256,
+    tn: int = 256,
+    bf16: bool = False,
+    interpret: bool = False,
+):
+    """Per-A-row (min1, argmin1, min2) squared-L2 against all B rows.
+
+    Returns (min1 (M,), idx1 (M,) int32, min2 (M,)); invalid B columns are
+    excluded.  Rows whose min1 is the +inf surrogate had no valid B at all.
+    """
+    m, d = desc_a.shape
+    n = desc_b.shape[0]
+    if b_valid is None:
+        b_valid = jnp.ones((n,), bool)
+
+    mp = -(-m // tm) * tm
+    np_ = -(-n // tn) * tn
+    a = _pad_to(desc_a.astype(jnp.float32), mp, 0, 0.0)
+    b = _pad_to(desc_b.astype(jnp.float32), np_, 0, 0.0)
+    bv = _pad_to(b_valid.astype(jnp.float32)[None, :], np_, 1, 0.0)
+
+    grid = (mp // tm, np_ // tn)
+    min1, idx1, min2 = pl.pallas_call(
+        partial(_match_kernel, bf16=bf16, tn=tn),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((mp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tm, 1), jnp.float32),
+            pltpu.VMEM((tm, 1), jnp.int32),
+            pltpu.VMEM((tm, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * d,
+            bytes_accessed=4 * (mp * d + np_ * d * grid[0] + 3 * mp),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a, b, bv)
+    return min1[:m, 0], idx1[:m, 0], min2[:m, 0]
+
+
+def match_descriptors_pallas(
+    desc_a: jnp.ndarray,
+    desc_b: jnp.ndarray,
+    ambiguity: float = 0.8,
+    a_valid: jnp.ndarray | None = None,
+    b_valid: jnp.ndarray | None = None,
+    precision: str = "fp32",
+    interpret: bool = False,
+) -> MatchResult:
+    """Drop-in fast path for ``ops.match.match_descriptors`` — identical
+    semantics (Lowe ratio test of ``match.cu:82-117``), fused kernel."""
+    min1, idx1, min2 = fused_match_topk(
+        desc_a,
+        desc_b,
+        b_valid,
+        bf16=(precision == "bf16"),
+        interpret=interpret,
+    )
+    had_valid = min1 < _BIG
+    ratio = min1 / jnp.where(min2 > 0.0, min2, 1.0)
+    # Same acceptance rule as the jnp oracle (ops/match.py): min2 > 0 and
+    # ratio below threshold; a lone valid candidate (min2 at the +inf
+    # surrogate) matches, exactly as the oracle's min2 = inf does.
+    ok = (min2 > 0.0) & (ratio < ambiguity) & had_valid
+    if a_valid is not None:
+        ok = ok & a_valid
+    return MatchResult(
+        indices=jnp.where(ok, idx1, -1),
+        distances=jnp.where(had_valid, min1, 0.0),
+        ratios=jnp.where(min2 > 0.0, ratio, 1.0),
+    )

@@ -1,0 +1,17 @@
+"""Device-mesh parallelism: sharded matching and distributed reductions.
+
+The reference is strictly single-GPU (SURVEY.md §2 "Parallelism strategies":
+no NCCL/MPI, no multi-device anything).  This package is the net-new scaling
+layer: keyframe-sharded meshes, a ring-scheduled all-pairs descriptor-match
+sweep (``ppermute`` over ICI — the ring-attention communication pattern
+without softmax, SURVEY.md §5 "long-context"), and ``psum``-reduced
+distributed bundle adjustment."""
+
+from .mesh import make_keyframe_mesh
+from .matching import ring_allpairs_match_counts, shard_detect
+
+__all__ = [
+    "make_keyframe_mesh",
+    "ring_allpairs_match_counts",
+    "shard_detect",
+]

@@ -72,8 +72,26 @@ def match_pair(
     feats_b: Features,
     ambiguity: float = 0.8,
     precision: str = "fp32",
+    use_pallas: bool | None = None,
 ) -> MatchResult:
-    """Match features of two images (``compute_sift_matches`` equivalent)."""
+    """Match features of two images (``compute_sift_matches`` equivalent).
+
+    ``use_pallas=None`` auto-selects the fused Pallas kernel on TPU backends
+    (identical semantics, no materialised distance matrix) and the jnp path
+    elsewhere."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and jax.default_backend() == "tpu":
+        from .pallas.match import match_descriptors_pallas
+
+        return match_descriptors_pallas(
+            feats_a.desc,
+            feats_b.desc,
+            ambiguity=ambiguity,
+            a_valid=feats_a.valid,
+            b_valid=feats_b.valid,
+            precision=precision,
+        )
     return match_descriptors(
         feats_a.desc,
         feats_b.desc,
@@ -108,7 +126,12 @@ def make_pair_pipeline(config: PipelineConfig):
         fa = detect_and_describe(img_a, config.sift)
         fb = detect_and_describe(img_b, config.sift)
         m = match_pair(
-            fa, fb, config.match.ambiguity, config.match.precision
+            fa,
+            fb,
+            config.match.ambiguity,
+            config.match.precision,
+            use_pallas=config.runtime.use_pallas
+            and jax.default_backend() == "tpu",
         )
         return fa, fb, m
 

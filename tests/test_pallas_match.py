@@ -1,0 +1,87 @@
+"""Fused Pallas match kernel vs. the jnp oracle (interpret mode on CPU).
+
+The oracle relationship mirrors the reference's `_naive` kernels
+(SURVEY.md §4): ``ops.match`` is the ground truth, the Pallas kernel must
+agree exactly (fp32 path)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from niftymatch_tpu.ops.match import match_descriptors, pairwise_sq_distances, top2_min
+from niftymatch_tpu.pallas.match import fused_match_topk, match_descriptors_pallas
+
+
+def _descs(rng, m, n, d=128):
+    a = rng.normal(size=(m, d)).astype(np.float32)
+    b = rng.normal(size=(n, d)).astype(np.float32)
+    # Plant exact near-duplicates so some rows pass the ratio test.
+    k = min(m, n) // 2
+    b[:k] = a[:k] + 0.01 * rng.normal(size=(k, d)).astype(np.float32)
+    return a, b
+
+
+@pytest.mark.parametrize("m,n", [(64, 64), (100, 200), (300, 77), (33, 500)])
+def test_fused_topk_matches_oracle(rng, m, n):
+    a, b = _descs(rng, m, n)
+    min1, idx1, min2 = fused_match_topk(
+        jnp.asarray(a), jnp.asarray(b), tm=64, tn=64, interpret=True
+    )
+    d = pairwise_sq_distances(jnp.asarray(a), jnp.asarray(b))
+    o1, oi, o2 = top2_min(d)
+    np.testing.assert_allclose(np.asarray(min1), np.asarray(o1), atol=1e-3, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(min2), np.asarray(o2), atol=1e-3, rtol=1e-5)
+    # Indices must agree wherever the min is unique to fp32 tolerance.
+    gap = np.asarray(o2) - np.asarray(o1)
+    unique = gap > 1e-3
+    np.testing.assert_array_equal(np.asarray(idx1)[unique], np.asarray(oi)[unique])
+
+
+def test_fused_topk_respects_b_validity(rng):
+    a, b = _descs(rng, 48, 96)
+    bv = np.ones(96, bool)
+    bv[40:] = False
+    min1, idx1, min2 = fused_match_topk(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(bv), tm=64, tn=64, interpret=True
+    )
+    assert np.asarray(idx1).max() < 40
+    d = pairwise_sq_distances(jnp.asarray(a), jnp.asarray(b[:40]))
+    o1, oi, o2 = top2_min(d)
+    np.testing.assert_allclose(np.asarray(min1), np.asarray(o1), atol=1e-3, rtol=1e-5)
+
+
+def test_match_descriptors_pallas_end_to_end(rng):
+    a, b = _descs(rng, 128, 128)
+    av = np.ones(128, bool)
+    av[-10:] = False
+    bv = np.ones(128, bool)
+    bv[-7:] = False
+    res_p = match_descriptors_pallas(
+        jnp.asarray(a), jnp.asarray(b),
+        a_valid=jnp.asarray(av), b_valid=jnp.asarray(bv),
+        interpret=True,
+    )
+    res_o = match_descriptors(
+        jnp.asarray(a), jnp.asarray(b),
+        a_valid=jnp.asarray(av), b_valid=jnp.asarray(bv),
+    )
+    np.testing.assert_array_equal(np.asarray(res_p.indices), np.asarray(res_o.indices))
+    matched = np.asarray(res_o.indices) >= 0
+    np.testing.assert_allclose(
+        np.asarray(res_p.distances)[matched],
+        np.asarray(res_o.distances)[matched],
+        atol=1e-3, rtol=1e-5,
+    )
+
+
+def test_fused_topk_single_tile_and_ragged(rng):
+    # Sizes far from tile multiples exercise padding.
+    a, b = _descs(rng, 5, 3)
+    min1, idx1, min2 = fused_match_topk(
+        jnp.asarray(a), jnp.asarray(b), tm=8, tn=8, interpret=True
+    )
+    d = pairwise_sq_distances(jnp.asarray(a), jnp.asarray(b))
+    o1, oi, o2 = top2_min(d)
+    np.testing.assert_allclose(np.asarray(min1), np.asarray(o1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(min2), np.asarray(o2), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(idx1), np.asarray(oi))

@@ -1,0 +1,73 @@
+"""Sharding tests on the 8-device CPU mesh (conftest forces
+``xla_force_host_platform_device_count=8`` — SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from niftymatch_tpu.ops.match import match_descriptors
+from niftymatch_tpu.parallel import (
+    make_keyframe_mesh,
+    ring_allpairs_match_counts,
+)
+
+
+def _fake_descriptors(rng, k, n, d=32):
+    """k frames of n descriptors where frame pairs (2i, 2i+1) share content."""
+    base = rng.normal(size=(k // 2, n, d)).astype(np.float32)
+    desc = np.zeros((k, n, d), np.float32)
+    desc[0::2] = base
+    desc[1::2] = base + 0.01 * rng.normal(size=base.shape).astype(np.float32)
+    # L2-normalise rows so distances are well-scaled
+    desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+    valid = np.ones((k, n), bool)
+    valid[:, -3:] = False  # some dead capacity slots
+    return desc, valid
+
+
+def test_mesh_construction():
+    mesh = make_keyframe_mesh()
+    assert mesh.shape["kf"] == len(jax.devices())
+
+
+def test_ring_allpairs_matches_single_device_oracle(rng):
+    k, n = 16, 24
+    desc, valid = _fake_descriptors(rng, k, n)
+    mesh = make_keyframe_mesh(8)
+    counts = np.asarray(
+        ring_allpairs_match_counts(
+            jnp.asarray(desc), jnp.asarray(valid), mesh
+        )
+    )
+    assert counts.shape == (k, k)
+    # Oracle: direct per-pair matching on one device.
+    oracle = np.zeros((k, k), np.int32)
+    for i in range(k):
+        for j in range(k):
+            res = match_descriptors(
+                jnp.asarray(desc[i]),
+                jnp.asarray(desc[j]),
+                a_valid=jnp.asarray(valid[i]),
+                b_valid=jnp.asarray(valid[j]),
+            )
+            oracle[i, j] = int(np.sum(np.asarray(res.indices) >= 0))
+    np.testing.assert_array_equal(counts, oracle)
+    # Paired frames should dominate their rows (loop-closure signal).
+    off = counts.copy()
+    np.fill_diagonal(off, -1)
+    for i in range(k):
+        partner = i + 1 if i % 2 == 0 else i - 1
+        assert off[i].argmax() == partner
+
+
+def test_ring_allpairs_jits_under_mesh(rng):
+    k, n = 8, 16
+    desc, valid = _fake_descriptors(rng, k, n)
+    mesh = make_keyframe_mesh(4)
+    f = jax.jit(
+        lambda d, v: ring_allpairs_match_counts(d, v, mesh)
+    )
+    out = f(jnp.asarray(desc), jnp.asarray(valid))
+    assert out.shape == (k, k)
+    out2 = f(jnp.asarray(desc), jnp.asarray(valid))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
