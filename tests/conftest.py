@@ -21,14 +21,17 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped so every test draws the same deterministic stream
+    # regardless of execution order/selection.
     return np.random.default_rng(42)
 
 
 @pytest.fixture(scope="session")
-def test_image(rng):
+def test_image():
     """A structured synthetic 128x96 image with blobs at known positions."""
+    rng = np.random.default_rng(42)
     h, w = 96, 128
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     img = np.zeros((h, w), np.float32)
