@@ -19,6 +19,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..utils.precision import f32
+
 
 def _jacobi_rotation(app, aqq, apq):
     """Stable Jacobi rotation angle (c, s) that annihilates A[p,q].
@@ -29,6 +31,7 @@ def _jacobi_rotation(app, aqq, apq):
     return jnp.cos(theta), jnp.sin(theta)
 
 
+@f32
 def jacobi_eigh(A: jnp.ndarray, sweeps: int = 12):
     """Eigendecomposition of a small symmetric matrix by cyclic Jacobi.
 
@@ -69,6 +72,7 @@ def jacobi_eigh(A: jnp.ndarray, sweeps: int = 12):
     return w, Vf
 
 
+@f32
 def sorted_eigh(A: jnp.ndarray, sweeps: int = 12):
     """``jacobi_eigh`` with eigenvalues sorted ascending (and matching
     eigenvector columns)."""
@@ -79,6 +83,7 @@ def sorted_eigh(A: jnp.ndarray, sweeps: int = 12):
     return w_sorted, V_sorted
 
 
+@f32
 def smallest_eigvec(A: jnp.ndarray, sweeps: int = 12) -> jnp.ndarray:
     """Unit eigenvector of the smallest eigenvalue of symmetric ``A``
     (..., n, n) -> (..., n).  This is the null-space extractor used by the
@@ -91,6 +96,7 @@ def smallest_eigvec(A: jnp.ndarray, sweeps: int = 12) -> jnp.ndarray:
     return v / jnp.maximum(norm, 1e-20)
 
 
+@f32
 def svd3x3(E: jnp.ndarray, sweeps: int = 12):
     """SVD of (..., 3, 3) matrices, built from Jacobi eigh of E^T E.
 
@@ -116,6 +122,7 @@ def svd3x3(E: jnp.ndarray, sweeps: int = 12):
     return U, S, jnp.swapaxes(V, -1, -2)
 
 
+@f32
 def solve3x3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Closed-form 3x3 solve by adjugate/determinant (branchless; the
     reference does in-kernel Gaussian elimination with pivoting for its
@@ -146,6 +153,7 @@ def solve3x3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where((jnp.abs(det) > 1e-20)[..., None], x, jnp.zeros_like(x))
 
 
+@f32
 def inv3x3(A: jnp.ndarray) -> jnp.ndarray:
     """Adjugate 3x3 inverse — same math the reference's warp kernel thread-0
     computes in-kernel (``resample.cu:119-143``)."""

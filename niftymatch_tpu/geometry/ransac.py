@@ -35,6 +35,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..utils.precision import f32
+
 from ..config import RansacConfig
 from .transforms import (
     fit_essential,
@@ -78,6 +80,7 @@ class RansacResult(NamedTuple):
     success: jnp.ndarray      # () bool — enough valid points & nonzero inliers
 
 
+@f32
 def align_points(
     xa: jnp.ndarray,
     ya: jnp.ndarray,
@@ -120,6 +123,7 @@ def _sample_weights(key, mask: jnp.ndarray, iterations: int, k: int):
     return w * mask[None, :].astype(jnp.float32) * enough
 
 
+@f32
 def ransac(
     src: jnp.ndarray,
     dst: jnp.ndarray,

@@ -22,9 +22,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..utils.precision import f32
+
 from .linalg import smallest_eigvec, solve3x3, svd3x3
 
 
+@f32
 def apply_homography(H: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Apply (..., 3, 3) projective transform to (..., N, 2) points.
 
@@ -39,6 +42,7 @@ def apply_homography(H: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([xp / w, yp / w], axis=-1)
 
 
+@f32
 def transfer_sq_error(
     H: jnp.ndarray, src: jnp.ndarray, dst: jnp.ndarray
 ) -> jnp.ndarray:
@@ -55,6 +59,7 @@ def _weighted_mean(pts: jnp.ndarray, w: jnp.ndarray):
     return mean, wsum[..., 0]
 
 
+@f32
 def hartley_normalization(pts: jnp.ndarray, w: jnp.ndarray):
     """Similarity T mapping weighted points to centroid 0, mean norm sqrt(2)
     (the conditioning transform of ``ransac.cu:105-131``).
@@ -80,6 +85,7 @@ def hartley_normalization(pts: jnp.ndarray, w: jnp.ndarray):
     return normed, T
 
 
+@f32
 def fit_translation(
     src: jnp.ndarray, dst: jnp.ndarray, weights: jnp.ndarray
 ) -> jnp.ndarray:
@@ -100,6 +106,7 @@ def fit_translation(
     )
 
 
+@f32
 def fit_similarity(
     src: jnp.ndarray, dst: jnp.ndarray, weights: jnp.ndarray
 ) -> jnp.ndarray:
@@ -134,6 +141,7 @@ def fit_similarity(
     )
 
 
+@f32
 def fit_homography(
     src: jnp.ndarray, dst: jnp.ndarray, weights: jnp.ndarray
 ) -> jnp.ndarray:
@@ -173,6 +181,7 @@ def fit_homography(
     return H / safe[..., None, None]
 
 
+@f32
 def fit_fundamental(
     src: jnp.ndarray, dst: jnp.ndarray, weights: jnp.ndarray
 ) -> jnp.ndarray:
@@ -200,6 +209,7 @@ def fit_fundamental(
     return F / jnp.maximum(norm, 1e-20)[..., None, None]
 
 
+@f32
 def fit_essential(
     src: jnp.ndarray, dst: jnp.ndarray, weights: jnp.ndarray
 ) -> jnp.ndarray:
@@ -215,6 +225,7 @@ def fit_essential(
     return E / jnp.maximum(norm, 1e-20)[..., None, None]
 
 
+@f32
 def sampson_sq_error(
     F: jnp.ndarray, src: jnp.ndarray, dst: jnp.ndarray
 ) -> jnp.ndarray:

@@ -7,11 +7,19 @@ sweep (``ppermute`` over ICI — the ring-attention communication pattern
 without softmax, SURVEY.md §5 "long-context"), and ``psum``-reduced
 distributed bundle adjustment."""
 
+from .ba import (
+    ShardedBAProblem,
+    distributed_bundle_adjust,
+    partition_by_landmark,
+)
 from .mesh import make_keyframe_mesh
 from .matching import ring_allpairs_match_counts, shard_detect
 
 __all__ = [
+    "ShardedBAProblem",
+    "distributed_bundle_adjust",
     "make_keyframe_mesh",
+    "partition_by_landmark",
     "ring_allpairs_match_counts",
     "shard_detect",
 ]

@@ -1,0 +1,256 @@
+"""Distributed bundle adjustment: landmark-sharded Schur reduction.
+
+The classic multi-host BA decomposition (SURVEY.md §5 "BA Schur reduction of
+landmark blocks via psum"), TPU-native:
+
+* **Landmarks and their observations are sharded** over the mesh axis;
+  camera poses are **replicated** (keyframe windows are small).
+* Each device linearises its local observations, builds its local landmark
+  blocks (H_ll, W, b_l) and partial camera-system pieces, and the reduced
+  camera system ``S = H_cc - W H_ll^-1 W^T`` / rhs are formed by one
+  ``psum`` each over ICI — (6C)^2 + 6C floats, independent of L and O.
+* The dense (6C x 6C) solve runs replicated (identical on every device);
+  landmark back-substitution is purely local.
+* The whole LM loop (accept/reject on the psum'd robust cost) runs inside
+  one ``shard_map``-ped ``lax.scan`` — zero host round-trips per iteration.
+
+Use :func:`partition_by_landmark` to convert a global ``BAProblem`` into the
+sharded layout (observations sorted by landmark, padded per shard).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import BAConfig
+from ..geometry.linalg import inv3x3
+from ..sfm.ba import BAProblem, BAStats, _jacobians, residuals_and_weights
+from ..sfm.se3 import se3_compose, se3_exp
+from ..utils.precision import f32
+
+
+class ShardedBAProblem(NamedTuple):
+    """BAProblem in landmark-sharded layout.
+
+    landmarks: (L,) sharded over the mesh axis; every observation row lives
+    on the shard owning its landmark, with ``obs_lm`` holding LOCAL indices
+    (0..L/n_dev-1).  Cameras are replicated."""
+
+    poses: jnp.ndarray        # (C, 3, 4) replicated
+    landmarks: jnp.ndarray    # (L, 3) sharded
+    intrinsics: jnp.ndarray   # (4,) replicated
+    obs_uv: jnp.ndarray       # (O, 2) sharded
+    obs_cam: jnp.ndarray      # (O,) sharded, global camera ids
+    obs_lm: jnp.ndarray       # (O,) sharded, LOCAL landmark ids
+    obs_valid: jnp.ndarray    # (O,) sharded
+    pose_fixed: jnp.ndarray   # (C,) replicated
+
+
+def partition_by_landmark(
+    problem: BAProblem, n_shards: int
+) -> ShardedBAProblem:
+    """Host-side re-layout: landmarks round-robin-blocked over shards,
+    observations routed to their landmark's shard and padded equally."""
+    L = problem.landmarks.shape[0]
+    l_pad = -(-L // n_shards) * n_shards
+    lm = np.asarray(problem.landmarks)
+    lm = np.pad(lm, ((0, l_pad - L), (0, 0)))
+    l_per = l_pad // n_shards
+
+    obs_uv = np.asarray(problem.obs_uv)
+    obs_cam = np.asarray(problem.obs_cam)
+    obs_lm = np.asarray(problem.obs_lm)
+    obs_valid = np.asarray(problem.obs_valid)
+
+    shard_of = obs_lm // l_per
+    local_lm = obs_lm % l_per
+    per_shard = [np.nonzero(obs_valid & (shard_of == s))[0] for s in range(n_shards)]
+    o_per = max((len(ix) for ix in per_shard), default=1)
+    o_per = max(o_per, 1)
+
+    uv = np.zeros((n_shards, o_per, 2), np.float32)
+    cam = np.zeros((n_shards, o_per), np.int32)
+    lml = np.zeros((n_shards, o_per), np.int32)
+    val = np.zeros((n_shards, o_per), bool)
+    for s, ix in enumerate(per_shard):
+        n = len(ix)
+        uv[s, :n] = obs_uv[ix]
+        cam[s, :n] = obs_cam[ix]
+        lml[s, :n] = local_lm[ix]
+        val[s, :n] = True
+    return ShardedBAProblem(
+        poses=problem.poses,
+        landmarks=jnp.asarray(lm),
+        intrinsics=problem.intrinsics,
+        obs_uv=jnp.asarray(uv.reshape(n_shards * o_per, 2)),
+        obs_cam=jnp.asarray(cam.reshape(-1)),
+        obs_lm=jnp.asarray(lml.reshape(-1)),
+        obs_valid=jnp.asarray(val.reshape(-1)),
+        pose_fixed=problem.pose_fixed,
+    )
+
+
+@f32
+def distributed_bundle_adjust(
+    sharded: ShardedBAProblem,
+    mesh: Mesh,
+    config: BAConfig = BAConfig(),
+    axis: str = "kf",
+):
+    """LM bundle adjustment with the Schur reduction psum'd over the mesh.
+
+    Returns (ShardedBAProblem with updated poses/landmarks, BAStats)."""
+    C = sharded.poses.shape[0]
+
+    def local_fn(poses, landmarks, intr, uv, cam, lml, valid, fixed):
+        # All arrays here are the per-device shards; cameras replicated.
+        L_loc = landmarks.shape[0]
+
+        def as_problem(poses, landmarks):
+            return BAProblem(
+                poses=poses,
+                landmarks=landmarks,
+                intrinsics=intr,
+                obs_uv=uv,
+                obs_cam=cam,
+                obs_lm=lml,
+                obs_valid=valid,
+                pose_fixed=fixed,
+            )
+
+        def cost_of(poses, landmarks):
+            r, w_, _, v = residuals_and_weights(
+                as_problem(poses, landmarks), config.huber_delta
+            )
+            n2 = jnp.sum(r * r, axis=-1)
+            n = jnp.sqrt(jnp.maximum(n2, 1e-18))
+            c = jnp.where(
+                n <= config.huber_delta,
+                0.5 * n2,
+                config.huber_delta * (n - 0.5 * config.huber_delta),
+            )
+            return jax.lax.psum(
+                jnp.sum(c * v.astype(jnp.float32)), axis
+            )
+
+        def solve(poses, landmarks, lam):
+            prob = as_problem(poses, landmarks)
+            r, w_, p, _ = residuals_and_weights(prob, config.huber_delta)
+            J_c, J_l = _jacobians(prob, p)
+            sw = jnp.sqrt(w_)[..., None]
+            r_w = r * sw
+            J_c = J_c * sw[..., None]
+            J_l = J_l * sw[..., None]
+
+            Hcc = jax.ops.segment_sum(
+                jnp.einsum("oij,oik->ojk", J_c, J_c), cam, num_segments=C
+            )
+            Hll = jax.ops.segment_sum(
+                jnp.einsum("oij,oik->ojk", J_l, J_l), lml, num_segments=L_loc
+            )
+            pair_id = cam * L_loc + lml
+            W = jax.ops.segment_sum(
+                jnp.einsum("oij,oik->ojk", J_c, J_l),
+                pair_id,
+                num_segments=C * L_loc,
+            ).reshape(C, L_loc, 6, 3)
+            b_c = -jax.ops.segment_sum(
+                jnp.einsum("oij,oi->oj", J_c, r_w), cam, num_segments=C
+            )
+            b_l = -jax.ops.segment_sum(
+                jnp.einsum("oij,oi->oj", J_l, r_w), lml, num_segments=L_loc
+            )
+
+            eye6 = jnp.eye(6, dtype=Hcc.dtype)
+            eye3 = jnp.eye(3, dtype=Hll.dtype)
+            Hll = Hll + (lam + 1e-8) * eye3
+            Hll_inv = inv3x3(Hll)
+            A = jnp.einsum("clij,ljk->clik", W, Hll_inv)
+            S_local = (
+                jnp.zeros((C, C, 6, 6), Hcc.dtype)
+                .at[jnp.arange(C), jnp.arange(C)]
+                .set(Hcc + (lam + 1e-8) * eye6 / jnp.float32(n_dev))
+                - jnp.einsum("clij,dlkj->cdik", A, W)
+            )
+            rhs_local = b_c - jnp.einsum("clij,lj->ci", A, b_l)
+            # THE collectives: reduce the camera system over all shards.
+            S = jax.lax.psum(S_local, axis)
+            rhs = jax.lax.psum(rhs_local, axis)
+
+            Sd = jnp.transpose(S, (0, 2, 1, 3)).reshape(C * 6, C * 6)
+            rv = rhs.reshape(C * 6)
+            free = (~fixed).astype(Sd.dtype)
+            fm = jnp.repeat(free, 6)
+            Sd = Sd * fm[:, None] * fm[None, :] + jnp.diag(1.0 - fm)
+            rv = rv * fm
+            dxi = jnp.linalg.solve(Sd, rv).reshape(C, 6)
+
+            Wt_dxi = jnp.einsum("clij,ci->lj", W, dxi)
+            dX = jnp.einsum("lij,lj->li", Hll_inv, b_l - Wt_dxi)
+            return dxi, dX
+
+        init_cost = cost_of(poses, landmarks)
+
+        def body(carry, _):
+            poses, landmarks, lam, cost = carry
+            dxi, dX = solve(poses, landmarks, lam)
+            free = (~fixed)[:, None].astype(dxi.dtype)
+            cand_p = se3_compose(se3_exp(dxi * free), poses)
+            cand_l = landmarks + dX
+            new_cost = cost_of(cand_p, cand_l)
+            accept = new_cost < cost
+            poses = jnp.where(accept, cand_p, poses)
+            landmarks = jnp.where(accept, cand_l, landmarks)
+            cost = jnp.where(accept, new_cost, cost)
+            lam = jnp.clip(
+                jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e6
+            )
+            return (poses, landmarks, lam, cost), (lam, cost)
+
+        (poses, landmarks, _, cost), (lams, costs) = jax.lax.scan(
+            body,
+            (poses, landmarks, jnp.float32(config.damping), init_cost),
+            None,
+            length=config.max_iterations,
+        )
+        return poses, landmarks, init_cost, cost, lams, costs
+
+    n_dev = mesh.shape[axis]
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(),        # poses replicated
+            P(axis),    # landmarks sharded
+            P(),        # intrinsics
+            P(axis),    # obs_uv
+            P(axis),    # obs_cam
+            P(axis),    # obs_lm
+            P(axis),    # obs_valid
+            P(),        # pose_fixed
+        ),
+        out_specs=(P(), P(axis), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    poses, landmarks, init_cost, final_cost, lams, costs = fn(
+        sharded.poses,
+        sharded.landmarks,
+        sharded.intrinsics,
+        sharded.obs_uv,
+        sharded.obs_cam,
+        sharded.obs_lm,
+        sharded.obs_valid,
+        sharded.pose_fixed,
+    )
+    out = sharded._replace(poses=poses, landmarks=landmarks)
+    return out, BAStats(
+        initial_cost=init_cost,
+        final_cost=final_cost,
+        lambdas=lams,
+        costs=costs,
+    )

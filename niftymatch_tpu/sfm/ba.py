@@ -28,6 +28,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..utils.precision import f32
+
 from ..config import BAConfig
 from ..geometry.linalg import inv3x3
 from .se3 import hat, se3_compose, se3_exp
@@ -52,6 +54,7 @@ class BAProblem(NamedTuple):
     pose_fixed: jnp.ndarray
 
 
+@f32
 def project(
     poses: jnp.ndarray, landmarks: jnp.ndarray, intrinsics: jnp.ndarray,
     obs_cam: jnp.ndarray, obs_lm: jnp.ndarray,
@@ -67,6 +70,7 @@ def project(
     return jnp.stack([u, v], axis=-1), p
 
 
+@f32
 def residuals_and_weights(problem: BAProblem, huber_delta: float):
     """Reprojection residuals (O, 2) + Huber IRLS weights (O,)."""
     uv, p = project(
@@ -82,6 +86,7 @@ def residuals_and_weights(problem: BAProblem, huber_delta: float):
     return r, w, p, valid
 
 
+@f32
 def ba_cost(problem: BAProblem, huber_delta: float) -> jnp.ndarray:
     """Total robust (Huber) cost."""
     r, w, _, valid = residuals_and_weights(problem, huber_delta)
@@ -200,6 +205,7 @@ def _apply_step(problem: BAProblem, dxi, dX) -> BAProblem:
     return problem._replace(poses=new_poses, landmarks=new_lms)
 
 
+@f32
 def bundle_adjust(
     problem: BAProblem, config: BAConfig = BAConfig()
 ) -> tuple[BAProblem, BAStats]:

@@ -14,6 +14,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..utils.precision import f32
+
 from .se3 import se3_compose, se3_exp, se3_inverse, se3_log
 
 
@@ -31,11 +33,13 @@ class PoseGraph(NamedTuple):
     node_fixed: jnp.ndarray   # (N,) bool
 
 
+@f32
 def edge_residual(Ti: jnp.ndarray, Tj: jnp.ndarray, Z: jnp.ndarray) -> jnp.ndarray:
     """(6,) tangent residual log(Z^-1 T_i T_j^-1)."""
     return se3_log(se3_compose(se3_inverse(Z), se3_compose(Ti, se3_inverse(Tj))))
 
 
+@f32
 def graph_cost(graph: PoseGraph) -> jnp.ndarray:
     r = jax.vmap(edge_residual)(
         graph.poses[graph.edge_i], graph.poses[graph.edge_j], graph.edge_T
@@ -74,6 +78,7 @@ class PGOStats(NamedTuple):
     costs: jnp.ndarray
 
 
+@f32
 def optimize_pose_graph(
     graph: PoseGraph,
     iterations: int = 10,

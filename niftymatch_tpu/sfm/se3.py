@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..utils.precision import f32
+
 _EPS = 1e-12
 _SMALL = 0.1  # branch threshold on theta
 
@@ -60,6 +62,7 @@ def _exp_coeffs(th2: jnp.ndarray):
     return A, B, C
 
 
+@f32
 def so3_exp(phi: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues: (..., 3) axis-angle -> (..., 3, 3) rotation."""
     th2 = jnp.sum(phi * phi, axis=-1)[..., None, None]
@@ -70,6 +73,7 @@ def so3_exp(phi: jnp.ndarray) -> jnp.ndarray:
     return eye + A * K + B * K2
 
 
+@f32
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """(..., 3, 3) rotation -> (..., 3) axis-angle (|phi| <= pi)."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
@@ -104,6 +108,7 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(near_pi, pi_branch, main)
 
 
+@f32
 def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
     """(..., 6) = (rho, phi) -> (..., 3, 4) Rt."""
     rho, phi = xi[..., :3], xi[..., 3:]
@@ -118,6 +123,7 @@ def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([R, t[..., None]], axis=-1)
 
 
+@f32
 def se3_log(T: jnp.ndarray) -> jnp.ndarray:
     """(..., 3, 4) Rt -> (..., 6)."""
     R, t = T[..., :3], T[..., 3]
@@ -149,6 +155,7 @@ def se3_identity(batch_shape=(), dtype=jnp.float32) -> jnp.ndarray:
     return jnp.broadcast_to(T, (*batch_shape, 3, 4))
 
 
+@f32
 def se3_compose(Ta: jnp.ndarray, Tb: jnp.ndarray) -> jnp.ndarray:
     """Ta * Tb (apply Tb first): (Ra Rb | Ra tb + ta)."""
     Ra, ta = Ta[..., :3], Ta[..., 3]
@@ -158,6 +165,7 @@ def se3_compose(Ta: jnp.ndarray, Tb: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([R, t[..., None]], axis=-1)
 
 
+@f32
 def se3_inverse(T: jnp.ndarray) -> jnp.ndarray:
     R, t = T[..., :3], T[..., 3]
     Rt = jnp.swapaxes(R, -1, -2)
@@ -165,6 +173,7 @@ def se3_inverse(T: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([Rt, ti[..., None]], axis=-1)
 
 
+@f32
 def se3_apply(T: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Apply (..., 3, 4) to points (..., N, 3) (or (..., 3))."""
     R, t = T[..., :3], T[..., 3]
@@ -173,11 +182,13 @@ def se3_apply(T: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     return pts @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
 
 
+@f32
 def se3_relative(Ta: jnp.ndarray, Tb: jnp.ndarray) -> jnp.ndarray:
     """T_ab = Ta^-1 * Tb (pose of b in a's frame)."""
     return se3_compose(se3_inverse(Ta), Tb)
 
 
+@f32
 def camera_center(T: jnp.ndarray) -> jnp.ndarray:
     """World-frame camera center -R^T t of world->cam poses (..., 3, 4)."""
     R, t = T[..., :3], T[..., 3]

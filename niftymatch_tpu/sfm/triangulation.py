@@ -15,10 +15,13 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from ..utils.precision import f32
+
 from ..geometry.linalg import smallest_eigvec
 from .se3 import se3_apply
 
 
+@f32
 def triangulate_midpoint(
     T_a: jnp.ndarray,
     T_b: jnp.ndarray,
@@ -53,6 +56,7 @@ def triangulate_midpoint(
     return 0.5 * (Ca + s[..., None] * da + Cb + t[..., None] * db)
 
 
+@f32
 def triangulate_dlt(
     T_a: jnp.ndarray,
     T_b: jnp.ndarray,
@@ -76,6 +80,7 @@ def triangulate_dlt(
     return X[..., :3] / w[..., None]
 
 
+@f32
 def reprojection_error(
     T: jnp.ndarray, pts3: jnp.ndarray, obs: jnp.ndarray
 ) -> jnp.ndarray:
@@ -88,6 +93,7 @@ def reprojection_error(
     return jnp.sum(d * d, axis=-1)
 
 
+@f32
 def depths(T: jnp.ndarray, pts3: jnp.ndarray) -> jnp.ndarray:
     """Z-depth of world points in camera T."""
     return se3_apply(T, pts3)[..., 2]
@@ -101,6 +107,7 @@ class PoseRecovery(NamedTuple):
     num_good: jnp.ndarray   # () int32
 
 
+@f32
 def decompose_essential(E: jnp.ndarray):
     """E -> two rotations + unit translation (four (R, t) hypotheses).
 
@@ -121,6 +128,7 @@ def decompose_essential(E: jnp.ndarray):
     return R1, R2, t
 
 
+@f32
 def recover_pose(
     E: jnp.ndarray,
     pts_a: jnp.ndarray,

@@ -89,18 +89,35 @@ def estimate_two_view(
     res = ransac(srcn, dstn, mask, cfg, model="essential", key=key)
     inliers = res.inliers
     rec = recover_pose(res.transform, srcn, dstn, inliers)
-    success = res.success & (rec.num_good >= (res.num_inliers // 2)) & (
-        res.num_inliers >= 8
+
+    # Nonlinear polish: GN on the 5-DoF (R, t) manifold over the inliers —
+    # the minimal-sample E carries pixel noise; algebraic refits are
+    # unreliable (see sfm/two_view_refine.py).
+    from ..geometry.transforms import sampson_sq_error
+    from ..sfm.se3 import hat
+    from ..sfm.two_view_refine import refine_relative_pose
+
+    R, t, _ = refine_relative_pose(
+        rec.R, rec.t, srcn, dstn, inliers.astype(jnp.float32)
     )
+    E = hat(t) @ R
+    err = sampson_sq_error(E, srcn, dstn)
+    inl2 = (err < cfg.inlier_threshold) & mask
+    better = jnp.sum(inl2) >= jnp.sum(inliers)
+    E = jnp.where(better, E, res.transform)
+    inliers = jnp.where(better, inl2, inliers)
+    rec2 = recover_pose(E, srcn, dstn, inliers)
+    num = jnp.sum(inliers.astype(jnp.int32))
+    success = res.success & (rec2.num_good >= (num // 2)) & (num >= 8)
     return TwoViewResult(
         matches=m,
-        E=res.transform,
+        E=E,
         inliers=inliers,
-        num_inliers=res.num_inliers,
-        R=rec.R,
-        t=rec.t,
-        points=rec.points,
-        point_valid=rec.cheirality & inliers,
+        num_inliers=num,
+        R=rec2.R,
+        t=rec2.t,
+        points=rec2.points,
+        point_valid=rec2.cheirality & inliers,
         success=success,
     )
 

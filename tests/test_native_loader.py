@@ -1,0 +1,108 @@
+"""Native C++ PNG decoder / prefetch loader tests.
+
+Test PNGs are written by a minimal pure-Python encoder (zlib + struct) so no
+imaging library is required."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from niftymatch_tpu.data import native_loader
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def write_png(path, array, bitdepth=8):
+    """Encode (H, W) gray or (H, W, 3) RGB uint8/uint16, filter 0 rows."""
+    arr = np.asarray(array)
+    h, w = arr.shape[:2]
+    color_type = 0 if arr.ndim == 2 else 2
+    if bitdepth == 8:
+        data = arr.astype(np.uint8)
+        raw = b"".join(b"\x00" + data[y].tobytes() for y in range(h))
+    else:
+        data = arr.astype(">u2")
+        raw = b"".join(b"\x00" + data[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, color_type, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    with open(path, "wb") as f:
+        f.write(png)
+
+
+needs_native = pytest.mark.skipif(
+    not native_loader.available(), reason="native loader not built"
+)
+
+
+@needs_native
+def test_png_info_and_gray_roundtrip(tmp_path, rng):
+    img = (rng.uniform(0, 255, (24, 32))).astype(np.uint8)
+    p = str(tmp_path / "gray.png")
+    write_png(p, img)
+    assert native_loader.png_info(p) == (32, 24, 1, 8)
+    out = native_loader.read_gray(p)
+    np.testing.assert_allclose(out, img.astype(np.float32), atol=0)
+
+
+@needs_native
+def test_png_rgb_grayscale_weights(tmp_path):
+    rgb = np.zeros((4, 4, 3), np.uint8)
+    rgb[..., 0] = 100  # R
+    rgb[..., 1] = 200  # G
+    rgb[..., 2] = 50   # B
+    p = str(tmp_path / "rgb.png")
+    write_png(p, rgb)
+    out = native_loader.read_gray(p)
+    # Reference weights 0.21 R + 0.72 G + 0.07 B (bgra_2_gray.cu:16)
+    expect = 0.21 * 100 + 0.72 * 200 + 0.07 * 50
+    np.testing.assert_allclose(out, expect, atol=0.01)
+
+
+@needs_native
+def test_png_16bit_depth(tmp_path, rng):
+    depth = (rng.uniform(0, 65535, (16, 20))).astype(np.uint16)
+    p = str(tmp_path / "depth.png")
+    write_png(p, depth, bitdepth=16)
+    assert native_loader.png_info(p) == (20, 16, 1, 16)
+    out = native_loader.read_depth16(p)
+    np.testing.assert_array_equal(out, depth)
+
+
+@needs_native
+def test_prefetch_loader_order_and_content(tmp_path, rng):
+    paths = []
+    imgs = []
+    for i in range(6):
+        img = (rng.uniform(0, 255, (12, 16))).astype(np.uint8)
+        p = str(tmp_path / f"f{i}.png")
+        write_png(p, img)
+        paths.append(p)
+        imgs.append(img)
+    loader = native_loader.PrefetchLoader(paths, threads=3)
+    got = list(loader)
+    loader.close()
+    assert len(got) == 6
+    for g, img in zip(got, imgs):
+        np.testing.assert_allclose(g, img.astype(np.float32), atol=0)
+
+
+@needs_native
+def test_bad_png_rejected(tmp_path):
+    p = str(tmp_path / "junk.png")
+    with open(p, "wb") as f:
+        f.write(b"not a png at all, definitely not")
+    assert native_loader.png_info(p) is None
