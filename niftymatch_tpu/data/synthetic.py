@@ -113,6 +113,74 @@ def make_observation_table(
     return obs_uv, obs_cam, obs_lm, valid
 
 
+def make_feature_sequence(
+    scene: SyntheticScene,
+    capacity: int = 512,
+    noise_px: float = 0.5,
+    desc_noise: float = 0.05,
+    seed: int = 0,
+    desc_dim: int = 128,
+):
+    """Per-camera synthetic ``Features`` with landmark-consistent descriptors.
+
+    Each landmark gets a random unit descriptor; every observation sees it
+    plus noise — so descriptor matching recovers ground-truth correspondence
+    (with realistic ambiguity), while keypoint positions carry pixel noise.
+    This isolates the full SLAM pipeline (matching, E/H-RANSAC, scale
+    propagation, BA) from detector/renderer artifacts; the detector has its
+    own oracle tests."""
+    import jax.numpy as jnp
+
+    from ..features import Features
+
+    rng = np.random.default_rng(seed + 23)
+    L = scene.landmarks.shape[0]
+    base_desc = rng.normal(size=(L, desc_dim)).astype(np.float32)
+    base_desc /= np.linalg.norm(base_desc, axis=1, keepdims=True)
+    fx, fy, cx, cy = scene.intrinsics
+    out = []
+    for c in range(scene.poses.shape[0]):
+        T = scene.poses[c]
+        p = scene.landmarks @ T[:, :3].T + T[:, 3]
+        z = p[:, 2]
+        u = fx * p[:, 0] / np.maximum(z, 1e-9) + cx
+        v = fy * p[:, 1] / np.maximum(z, 1e-9) + cy
+        ok = (
+            (z > 0.3)
+            & (u >= 0)
+            & (u < scene.width)
+            & (v >= 0)
+            & (v < scene.height)
+        )
+        idx = np.nonzero(ok)[0][:capacity]
+        n = len(idx)
+        x = np.zeros(capacity, np.float32)
+        y = np.zeros(capacity, np.float32)
+        desc = np.zeros((capacity, desc_dim), np.float32)
+        valid = np.zeros(capacity, bool)
+        x[:n] = u[idx] + rng.normal(0, noise_px, n)
+        y[:n] = v[idx] + rng.normal(0, noise_px, n)
+        d = base_desc[idx] + desc_noise * rng.normal(size=(n, desc_dim)).astype(
+            np.float32
+        )
+        desc[:n] = d / np.linalg.norm(d, axis=1, keepdims=True)
+        valid[:n] = True
+        out.append(
+            Features(
+                x=jnp.asarray(x),
+                y=jnp.asarray(y),
+                sigma=jnp.ones(capacity, jnp.float32),
+                angle=jnp.zeros(capacity, jnp.float32),
+                response=jnp.asarray(valid, jnp.float32),
+                octave=jnp.zeros(capacity, jnp.int32),
+                level=jnp.zeros(capacity, jnp.int32),
+                desc=jnp.asarray(desc),
+                valid=jnp.asarray(valid),
+            )
+        )
+    return out
+
+
 def render_frames(scene: SyntheticScene, seed: int = 0) -> np.ndarray:
     """Render (C, H, W) float32 frames: each landmark is a small 3-D
     constellation of Gaussian sub-blobs (a central peak plus satellites with
@@ -126,7 +194,12 @@ def render_frames(scene: SyntheticScene, seed: int = 0) -> np.ndarray:
     fx, fy, cx, cy = scene.intrinsics
     h, w = scene.height, scene.width
     n_sub = 5
-    sizes = rng.uniform(0.03, 0.09, L)  # world-space core radii
+    # Log-uniform world radii over >10x: apparent blob scale is f*size/z, and
+    # the detector only fires in a limited sigma band — a narrow size range
+    # selects a narrow DEPTH SHELL of landmarks (quasi-planar inlier sets
+    # that degenerate the essential matrix).  Wide sizes put detectable
+    # texture at every depth.
+    sizes = np.exp(rng.uniform(np.log(0.015), np.log(0.2), L))
     # Sub-blob world offsets / relative amps (index 0 = dominant center).
     offsets = rng.normal(0, 1.0, (L, n_sub, 3)) * (2.0 * sizes[:, None, None])
     offsets[:, 0] = 0.0

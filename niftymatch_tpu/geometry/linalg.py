@@ -114,11 +114,24 @@ def svd3x3(E: jnp.ndarray, sweeps: int = 12):
     UV = E @ V  # columns = s_i * u_i
     safe = jnp.maximum(S[..., None, :], 1e-12)
     U = UV / safe
-    # Rebuild a possibly-degenerate third left vector from the first two.
-    u3 = jnp.cross(U[..., :, 0], U[..., :, 1], axis=-1)
-    u3n = u3 / jnp.maximum(jnp.linalg.norm(u3, axis=-1, keepdims=True), 1e-20)
-    degenerate = (S[..., 2] < 1e-6 * jnp.maximum(S[..., 0], 1e-20))[..., None]
-    U = U.at[..., :, 2].set(jnp.where(degenerate, u3n, U[..., :, 2]))
+    # Orthonormalise the left vectors.  u1 is reliable (largest s); u2 is
+    # Gram-Schmidt'd against it; u3 = E v3 / s3 loses ALL precision once s3
+    # is small relative to s1 (fp32 eigh error in v3 is amplified by 1/s3) —
+    # essential matrices (s3 = 0 by construction) always hit this — so u3 is
+    # always rebuilt as +-(u1 x u2), signed by the raw direction.
+    u1 = U[..., :, 0]
+    u1 = u1 / jnp.maximum(jnp.linalg.norm(u1, axis=-1, keepdims=True), 1e-20)
+    u2 = U[..., :, 1]
+    u2 = u2 - jnp.sum(u1 * u2, axis=-1, keepdims=True) * u1
+    u2 = u2 / jnp.maximum(jnp.linalg.norm(u2, axis=-1, keepdims=True), 1e-20)
+    u3 = jnp.cross(u1, u2, axis=-1)
+    u3_raw = U[..., :, 2]
+    # Sign from the raw direction (noisy but sign-stable until s3 is pure
+    # noise, where the s3 u3 v3^T term is negligible anyway).
+    sign = jnp.where(
+        jnp.sum(u3 * u3_raw, axis=-1, keepdims=True) < 0.0, -1.0, 1.0
+    )
+    U = jnp.stack([u1, u2, sign * u3], axis=-1)
     return U, S, jnp.swapaxes(V, -1, -2)
 
 

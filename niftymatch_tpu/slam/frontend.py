@@ -86,38 +86,61 @@ def estimate_two_view(
         inlier_threshold=ransac_config.inlier_threshold / (f_mean * f_mean),
         seed=ransac_config.seed,
     )
-    res = ransac(srcn, dstn, mask, cfg, model="essential", key=key)
-    inliers = res.inliers
-    rec = recover_pose(res.transform, srcn, dstn, inliers)
-
-    # Nonlinear polish: GN on the 5-DoF (R, t) manifold over the inliers —
-    # the minimal-sample E carries pixel noise; algebraic refits are
-    # unreliable (see sfm/two_view_refine.py).
     from ..geometry.transforms import sampson_sq_error
+    from ..sfm.homography import recover_pose_homography
     from ..sfm.se3 import hat
     from ..sfm.two_view_refine import refine_relative_pose
 
-    R, t, _ = refine_relative_pose(
-        rec.R, rec.t, srcn, dstn, inliers.astype(jnp.float32)
+    # Run BOTH models (ORB-SLAM-style H/E selection): quasi-planar scenes
+    # make E unrecoverable (2-D null space in the 8-point system) but are
+    # exactly a homography; general scenes prefer E.
+    res_e = ransac(srcn, dstn, mask, cfg, model="essential", key=key)
+    key_h = None if key is None else jax.random.fold_in(key, 1)
+    res_h = ransac(srcn, dstn, mask, cfg, model="homography", key=key_h)
+
+    use_h = res_h.num_inliers >= (0.9 * res_e.num_inliers).astype(jnp.int32)
+
+    # Pose from the essential branch, with GN Sampson polish on inliers.
+    rec_e = recover_pose(res_e.transform, srcn, dstn, res_e.inliers)
+    R_e, t_e, _ = refine_relative_pose(
+        rec_e.R, rec_e.t, srcn, dstn, res_e.inliers.astype(jnp.float32)
     )
-    E = hat(t) @ R
-    err = sampson_sq_error(E, srcn, dstn)
-    inl2 = (err < cfg.inlier_threshold) & mask
-    better = jnp.sum(inl2) >= jnp.sum(inliers)
-    E = jnp.where(better, E, res.transform)
-    inliers = jnp.where(better, inl2, inliers)
-    rec2 = recover_pose(E, srcn, dstn, inliers)
+    E_gn = hat(t_e) @ R_e
+    err = sampson_sq_error(E_gn, srcn, dstn)
+    inl_gn = (err < cfg.inlier_threshold) & mask
+    keep_gn = jnp.sum(inl_gn) >= jnp.sum(res_e.inliers)
+    E_e = jnp.where(keep_gn, E_gn, res_e.transform)
+    inl_e = jnp.where(keep_gn, inl_gn, res_e.inliers)
+    rec_e = recover_pose(E_e, srcn, dstn, inl_e)
+
+    # Pose from the homography branch (Faugeras decomposition + cheirality).
+    rec_h = recover_pose_homography(res_h.transform, srcn, dstn, res_h.inliers)
+    E_h = hat(rec_h.t) @ rec_h.R
+
+    pick = lambda h, e: jnp.where(use_h, h, e)
+    inliers = pick(res_h.inliers, inl_e)
+    E = pick(E_h, E_e)
+    R = pick(rec_h.R, rec_e.R)
+    t = pick(rec_h.t, rec_e.t)
+    points = pick(rec_h.points, rec_e.points)
+    cheir = pick(rec_h.cheirality, rec_e.cheirality)
+    num_good = pick(rec_h.num_good, rec_e.num_good)
+
     num = jnp.sum(inliers.astype(jnp.int32))
-    success = res.success & (rec2.num_good >= (num // 2)) & (num >= 8)
+    success = (
+        (res_e.success | res_h.success)
+        & (num_good >= (num // 2))
+        & (num >= 8)
+    )
     return TwoViewResult(
         matches=m,
         E=E,
         inliers=inliers,
         num_inliers=num,
-        R=rec2.R,
-        t=rec2.t,
-        points=rec2.points,
-        point_valid=rec2.cheirality & inliers,
+        R=R,
+        t=t,
+        points=points,
+        point_valid=cheir & inliers,
         success=success,
     )
 

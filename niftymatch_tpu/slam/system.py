@@ -95,6 +95,11 @@ class SlamSystem:
     def process_frame(self, image) -> dict:
         """Ingest one grayscale frame; returns per-frame status."""
         feats = self._detect(jnp.asarray(image, jnp.float32))
+        return self.process_features(feats)
+
+    def process_features(self, feats: Features) -> dict:
+        """Ingest a pre-detected feature set (e.g. from an external detector
+        or the synthetic track generator)."""
         if not self.keyframes:
             kf = Keyframe(
                 index=0,
