@@ -39,11 +39,15 @@ def make_scene(
     radius: float = 6.0,
     width: int = 640,
     height: int = 480,
+    arc: tuple = (-0.5, 0.5),
 ) -> SyntheticScene:
-    """Cameras on a partial orbit around a landmark cloud at the origin."""
+    """Cameras on an orbit segment around a landmark cloud at the origin.
+
+    ``arc=(0, 2*pi*(K-1)/K)`` gives a closed loop (first/last adjacent) for
+    loop-closure tests."""
     rng = np.random.default_rng(seed)
     landmarks = rng.uniform(-2.0, 2.0, size=(num_landmarks, 3)).astype(np.float32)
-    angles = np.linspace(-0.5, 0.5, num_cams)
+    angles = np.linspace(arc[0], arc[1], num_cams)
     poses = []
     for i, a in enumerate(angles):
         eye = np.array(

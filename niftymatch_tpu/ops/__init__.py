@@ -9,6 +9,8 @@ from .image import (
     extract_channel,
     put_channel,
     set_alpha,
+    subtract_images,
+    transpose_2d,
 )
 from .keypoints import Keypoints, detect_keypoints, extrema_mask
 from .match import (
@@ -44,6 +46,8 @@ __all__ = [
     "extract_channel",
     "put_channel",
     "set_alpha",
+    "subtract_images",
+    "transpose_2d",
     "Keypoints",
     "detect_keypoints",
     "extrema_mask",

@@ -66,3 +66,22 @@ def cast_saturate(src: jnp.ndarray, dtype, max_val=0) -> jnp.ndarray:
     if max_val != 0:
         src = jnp.where(src >= max_val, jnp.asarray(max_val, src.dtype), src)
     return src.astype(dtype)
+
+
+def transpose_2d(image):
+    """Tiled 2-D transpose — ``kernels/transpose.cu:8-30``.
+
+    The reference needs an explicit shared-memory kernel (and uses it to put
+    descriptors column-major for the matcher, ``siftfunctions.cu:25,34``);
+    on TPU a transpose is a layout change XLA fuses for free, and the MXU
+    matcher formulation removed the need entirely (SURVEY.md §7.3).  Kept as
+    an explicit op for API parity."""
+    import jax.numpy as jnp
+
+    return jnp.swapaxes(image, -1, -2)
+
+
+def subtract_images(a, b):
+    """Elementwise ``a - b`` — ``cuda_subtract_images`` (cudamath.cu:26-35),
+    the DoG primitive.  ``ops.gradients.dog_stack`` is the batched form."""
+    return a - b

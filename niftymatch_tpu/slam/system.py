@@ -52,6 +52,12 @@ class SlamConfig:
     max_tracks: int = 4096      # landmark capacity
     max_obs: int = 8192         # BA observation capacity
     detector_features: int = 1024
+    # Loop closure: candidate pairs need >= loop_min_matches ratio-test
+    # matches between keyframes >= loop_min_gap apart; verified closures
+    # enter the pose graph with loop_weight vs. 1.0 odometry weight.
+    loop_min_gap: int = 3
+    loop_min_matches: int = 50
+    loop_weight: float = 10.0
 
 
 @dataclasses.dataclass
@@ -242,6 +248,105 @@ class SlamSystem:
             pose_fixed=jnp.asarray(fixed),
         )
         return problem, active, window
+
+    # ------------------------------------------------------------------
+    # Loop closure
+    # ------------------------------------------------------------------
+    def detect_loop_candidates(self):
+        """All-pairs keyframe match-count sweep (ring-scheduled when a
+        multi-device mesh is available, SURVEY.md §5) -> candidate
+        (i, j) pairs with i - j >= loop_min_gap and enough matches."""
+        K = len(self.keyframes)
+        if K < self.config.loop_min_gap + 2:
+            return []
+        desc = jnp.stack([kf.feats.desc for kf in self.keyframes])
+        valid = jnp.stack([kf.feats.valid for kf in self.keyframes])
+        n_dev = len(jax.devices())
+        if n_dev > 1 and K % n_dev == 0:
+            from ..parallel import make_keyframe_mesh, ring_allpairs_match_counts
+
+            counts = np.asarray(
+                ring_allpairs_match_counts(desc, valid, make_keyframe_mesh())
+            )
+        else:
+            from ..ops.match import match_descriptors
+
+            f = jax.jit(
+                jax.vmap(
+                    lambda da, va: jax.vmap(
+                        lambda db, vb: jnp.sum(
+                            (
+                                match_descriptors(
+                                    da, db, a_valid=va, b_valid=vb
+                                ).indices
+                                >= 0
+                            ).astype(jnp.int32)
+                        )
+                    )(desc, valid)
+                )
+            )
+            counts = np.asarray(f(desc, valid))
+        cands = []
+        for i in range(K):
+            for j in range(i + self.config.loop_min_gap, K):
+                if counts[i, j] >= self.config.loop_min_matches:
+                    cands.append((i, j, int(counts[i, j])))
+        return cands
+
+    def close_loops(self) -> int:
+        """Verify loop candidates geometrically, build a pose graph with
+        odometry + loop edges, optimize, and update keyframe poses.
+        Returns the number of accepted loop edges."""
+        from ..sfm.posegraph import PoseGraph, optimize_pose_graph
+        from ..sfm.se3 import se3_compose, se3_inverse
+
+        cands = self.detect_loop_candidates()
+        K = len(self.keyframes)
+        edges_i, edges_j, edges_T, weights = [], [], [], []
+        # Odometry edges from current (BA-refined) consecutive poses.
+        for k in range(K - 1):
+            Z = se3_compose(
+                self.keyframes[k + 1].pose,
+                se3_inverse(self.keyframes[k].pose),
+            )
+            edges_i.append(k + 1)
+            edges_j.append(k)
+            edges_T.append(np.asarray(Z))
+            weights.append(1.0)
+        accepted = 0
+        for (j, i, _cnt) in cands:  # j < i: edge from i to j
+            kf_j, kf_i = self.keyframes[j], self.keyframes[i]
+            tv = self._two_view(kf_j.feats, kf_i.feats)
+            if not bool(tv.success) or int(tv.num_inliers) < self.config.loop_min_matches:
+                continue
+            scale = self._resolve_scale(kf_j, tv)
+            T_rel = jnp.concatenate(
+                [tv.R, (scale * tv.t)[:, None]], axis=-1
+            )  # pose of i in j's camera frame: Z = T_i T_j^-1
+            edges_i.append(i)
+            edges_j.append(j)
+            edges_T.append(np.asarray(T_rel))
+            weights.append(self.config.loop_weight)
+            accepted += 1
+        if accepted == 0:
+            return 0
+        fixed = np.zeros(K, bool)
+        fixed[0] = True
+        graph = PoseGraph(
+            poses=jnp.stack([kf.pose for kf in self.keyframes]),
+            edge_i=jnp.asarray(np.asarray(edges_i, np.int32)),
+            edge_j=jnp.asarray(np.asarray(edges_j, np.int32)),
+            edge_T=jnp.asarray(np.stack(edges_T)),
+            edge_weight=jnp.asarray(np.asarray(weights, np.float32)),
+            edge_valid=jnp.ones(len(weights), bool),
+            node_fixed=jnp.asarray(fixed),
+        )
+        out, stats = optimize_pose_graph(graph, iterations=12, damping=1e-4)
+        if float(stats.final_cost) <= float(stats.initial_cost):
+            poses = np.asarray(out.poses)
+            for k, kf in enumerate(self.keyframes):
+                kf.pose = jnp.asarray(poses[k])
+        return accepted
 
     def run_windowed_ba(self) -> bool:
         """Optimize the last ``ba_window`` keyframes + their tracks."""

@@ -109,3 +109,38 @@ def test_slam_checkpoint_roundtrip(tmp_path):
     )
     info = slam2.process_features(feats[5])
     assert "keyframe" in info
+
+
+def test_slam_loop_closure_reduces_drift():
+    K = 12
+    scene = make_scene(
+        num_cams=K,
+        num_landmarks=800,
+        seed=1,
+        radius=6.0,
+        width=640,
+        height=480,
+        arc=(0.0, 2 * np.pi * (K - 1) / K),
+    )
+    feats = make_feature_sequence(scene, capacity=384, noise_px=1.0, seed=1)
+    cfg = SlamConfig(
+        width=640,
+        height=480,
+        intrinsics=tuple(float(v) for v in scene.intrinsics),
+        ransac=RansacConfig(iterations=512, inlier_threshold=4.0),
+        detector_features=384,
+        ba_every=10_000,
+        loop_min_gap=4,
+        loop_min_matches=40,
+    )
+    slam = SlamSystem(cfg)
+    for f in feats:
+        slam.process_features(f)
+    gt = np.asarray(camera_center(jnp.asarray(scene.poses)))
+    ate_before = ate_rmse(slam.trajectory(), gt)
+    n = slam.close_loops()
+    ate_after = ate_rmse(slam.trajectory(), gt)
+    assert n > 0
+    assert ate_after < ate_before
+    scale = np.linalg.norm(gt - gt.mean(0), axis=1).mean()
+    assert ate_after < 0.01 * scale
