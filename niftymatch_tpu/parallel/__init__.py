@@ -13,11 +13,19 @@ from .ba import (
     partition_by_landmark,
 )
 from .mesh import make_keyframe_mesh
+from .multihost import (
+    initialize_distributed,
+    local_batch_slice,
+    make_hierarchical_mesh,
+)
 from .matching import ring_allpairs_match_counts, shard_detect
 
 __all__ = [
     "ShardedBAProblem",
     "distributed_bundle_adjust",
+    "initialize_distributed",
+    "local_batch_slice",
+    "make_hierarchical_mesh",
     "make_keyframe_mesh",
     "partition_by_landmark",
     "ring_allpairs_match_counts",
