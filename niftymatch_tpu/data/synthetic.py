@@ -185,7 +185,11 @@ def make_feature_sequence(
     return out
 
 
-def render_frames(scene: SyntheticScene, seed: int = 0) -> np.ndarray:
+def render_frames(
+    scene: SyntheticScene,
+    seed: int = 0,
+    size_range: tuple = (0.015, 0.2),
+) -> np.ndarray:
     """Render (C, H, W) float32 frames: each landmark is a small 3-D
     constellation of Gaussian sub-blobs (a central peak plus satellites with
     random world-space offsets/amplitudes).  The constellation is rigid in
@@ -203,7 +207,7 @@ def render_frames(scene: SyntheticScene, seed: int = 0) -> np.ndarray:
     # selects a narrow DEPTH SHELL of landmarks (quasi-planar inlier sets
     # that degenerate the essential matrix).  Wide sizes put detectable
     # texture at every depth.
-    sizes = np.exp(rng.uniform(np.log(0.015), np.log(0.2), L))
+    sizes = np.exp(rng.uniform(np.log(size_range[0]), np.log(size_range[1]), L))
     # Sub-blob world offsets / relative amps (index 0 = dominant center).
     offsets = rng.normal(0, 1.0, (L, n_sub, 3)) * (2.0 * sizes[:, None, None])
     offsets[:, 0] = 0.0

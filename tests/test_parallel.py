@@ -71,3 +71,43 @@ def test_ring_allpairs_jits_under_mesh(rng):
     assert out.shape == (k, k)
     out2 = f(jnp.asarray(desc), jnp.asarray(valid))
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_shard_detect_data_parallel(rng):
+    """Data-parallel detection over a sharded frame batch matches
+    per-frame detection."""
+    import jax
+    from niftymatch_tpu import SiftConfig, make_detector
+    from niftymatch_tpu.parallel import make_keyframe_mesh, shard_detect
+
+    h, w = 48, 64
+    cfg = SiftConfig(width=w, height=h, max_keypoints_per_level=32, max_features=64)
+    det = make_detector(cfg)
+    frames = rng.uniform(0, 255, size=(8, h, w)).astype(np.float32)
+    mesh = make_keyframe_mesh(8)
+    batched = shard_detect(det, jnp.asarray(frames), mesh)
+    assert batched.x.shape[0] == 8
+    # Compare one shard against direct detection.
+    single = det(jnp.asarray(frames[3]))
+    np.testing.assert_allclose(
+        np.asarray(batched.x[3]), np.asarray(single.x), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(batched.valid[3]), np.asarray(single.valid)
+    )
+
+
+def test_multihost_helpers_single_process():
+    from niftymatch_tpu.parallel import (
+        initialize_distributed,
+        local_batch_slice,
+        make_hierarchical_mesh,
+    )
+
+    initialize_distributed()  # no-op single host
+    mesh = make_hierarchical_mesh()
+    assert mesh.shape["kf"] == len(jax.devices())
+    mesh2 = make_hierarchical_mesh(host_axis="host")
+    assert mesh2.shape["host"] == 1
+    sl = local_batch_slice(16)
+    assert sl == slice(0, 16)
