@@ -95,6 +95,13 @@ class SiftConfig:
     # block => W <= blockDim/2 - 1 = 10 (orientation.cu:29,224)
     max_orientation_radius: int = 10
 
+    # Route pyramid blurs through the Pallas kernel (pallas/blur.py).
+    # EXPERIMENTAL, off by default: standalone the kernel is 3-12x faster
+    # than the XLA conv, but composed inside the fully-jitted detector the
+    # many per-octave pallas_calls break XLA fusion and regress end-to-end
+    # latency — use the default XLA path for the full pipeline.
+    use_pallas_blur: bool = False
+
     compat: CompatFlags = dataclasses.field(default_factory=CompatFlags)
 
     # ------------------------------------------------------------------

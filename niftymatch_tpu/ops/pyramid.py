@@ -49,7 +49,11 @@ def gaussian_kernels(config: SiftConfig):
 
 
 def build_octave_gaussians(
-    base_image: jnp.ndarray, level_kernels, num_levels: int, first_kernel=None
+    base_image: jnp.ndarray,
+    level_kernels,
+    num_levels: int,
+    first_kernel=None,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Stack of Gaussian levels for one octave.
 
@@ -61,10 +65,10 @@ def build_octave_gaussians(
     levels = []
     current = base_image
     if first_kernel is not None:
-        current = convolve_separable(current, first_kernel)
+        current = convolve_separable(current, first_kernel, use_pallas)
     levels.append(current)
     for l in range(num_levels - 1):
-        current = convolve_separable(current, level_kernels[l])
+        current = convolve_separable(current, level_kernels[l], use_pallas)
         levels.append(current)
     return jnp.stack(levels, axis=0)
 
@@ -102,6 +106,7 @@ def build_pyramid(image: jnp.ndarray, config: SiftConfig) -> List[OctaveData]:
             level_kernels,
             config.num_gauss_levels,
             first_kernel=base_kernel if o == 0 else None,
+            use_pallas=config.use_pallas_blur,
         )
         octaves.append(
             OctaveData(
