@@ -26,7 +26,20 @@ def make_scene(h, w, seed=0):
 
 
 def main():
+    import os
+
     import jax
+
+    # Persistent compile cache: the tunneled remote-compile service is slow
+    # and intermittently flaky on large graphs; caching makes reruns instant.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from niftymatch_tpu import PipelineConfig, SiftConfig, make_pair_pipeline
