@@ -63,6 +63,11 @@ def _conv_1d(x: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarray:
         window_strides=(1, 1),
         padding=pad,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        # Full fp32 taps: TPU's default bf16 conv passes put ~0.7-magnitude
+        # rounding noise into the pyramid, and with peak_threshold = 0 the
+        # extrema test then fires on noise (observed: 1968 "features" on a
+        # scene whose fp32 pyramid yields 189).
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out.reshape(lead + (h, w))
 
