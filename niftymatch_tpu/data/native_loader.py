@@ -162,7 +162,10 @@ class PrefetchLoader:
 
     def __next__(self) -> np.ndarray:
         h, w = self._shape
-        out = np.empty((h, w), np.float32)
+        # Flat buffer: the native side writes hi*wi floats contiguously, so
+        # the reshape must use the RETURNED dims (a strided (h, w) view
+        # would scramble rows of any frame smaller than the first).
+        out = np.empty(h * w, np.float32)
         wi = ctypes.c_int()
         hi = ctypes.c_int()
         rc = self._lib.nm_loader_next(
@@ -178,9 +181,7 @@ class PrefetchLoader:
             raise ValueError("decode failed in prefetch loader")
         if rc == -3:
             raise ValueError("frame larger than first frame; use uniform sizes")
-        if (hi.value, wi.value) != (h, w):
-            out = out[: hi.value, : wi.value]
-        return out
+        return out[: hi.value * wi.value].reshape(hi.value, wi.value)
 
     def close(self):
         if self._handle:

@@ -227,61 +227,6 @@ def fit_essential(
 
 
 @f32
-def fit_essential_span(
-    src: jnp.ndarray,
-    dst: jnp.ndarray,
-    weights: jnp.ndarray,
-    inlier_threshold: float,
-    n_angles: int = 64,
-) -> jnp.ndarray:
-    """Degeneracy-aware essential fit: search the 2-D near-null span.
-
-    Quasi-degenerate configurations (near-planar scenes, clustered
-    correspondences) leave the 8-point system with TWO tiny singular values;
-    the true E lies in their *span*, and any single-null-vector solution
-    (plain DLT, and the reference's SVD pattern alike) is arbitrary within
-    it.  This estimator takes the two smallest eigenvectors of the weighted
-    normal matrix, sweeps ``E(a) = cos(a) E1 + sin(a) E2`` over ``n_angles``
-    angles, projects each onto the essential manifold, and returns the
-    candidate with the most Sampson inliers (weighted points only).  The
-    same idea as the 7-point algorithm's null-space resolution, resolved by
-    inlier voting instead of the cubic — branchless and batched for TPU."""
-    ns, Ts = hartley_normalization(src, weights)
-    nd, Td = hartley_normalization(dst, weights)
-    x, y = ns[..., 0], ns[..., 1]
-    u, v = nd[..., 0], nd[..., 1]
-    one = jnp.ones_like(x)
-    r = jnp.stack([u * x, u * y, u, v * x, v * y, v, x, y, one], axis=-1)
-    w = weights[..., None, None]
-    M = jnp.sum(w * (r[..., :, None] * r[..., None, :]), axis=-3)
-    from .linalg import sorted_eigh, svd3x3
-
-    _, V = sorted_eigh(M)
-    E1 = V[..., :, 0].reshape(*V.shape[:-2], 3, 3)
-    E2 = V[..., :, 1].reshape(*V.shape[:-2], 3, 3)
-
-    angles = jnp.linspace(0.0, jnp.pi, n_angles, endpoint=False)
-    cand_n = (
-        jnp.cos(angles)[:, None, None] * E1[None]
-        + jnp.sin(angles)[:, None, None] * E2[None]
-    )  # (A, 3, 3) normalized-space candidates
-    # Denormalize: F = Td^T Fn Ts, then project to the essential manifold.
-    cand = jnp.swapaxes(Td, -1, -2)[None] @ cand_n @ Ts[None]
-    U, S, Vt = svd3x3(cand)
-    s = 0.5 * (S[..., 0] + S[..., 1])
-    S2 = jnp.stack([s, s, jnp.zeros_like(s)], axis=-1)
-    cand = (U * S2[..., None, :]) @ Vt
-    norm = jnp.linalg.norm(cand.reshape(n_angles, 9), axis=-1)
-    cand = cand / jnp.maximum(norm, 1e-20)[..., None, None]
-
-    errs = jax.vmap(lambda E: sampson_sq_error(E, src, dst))(cand)  # (A, N)
-    counts = jnp.sum(
-        (errs < inlier_threshold) & (weights > 0.0)[None, :], axis=-1
-    )
-    return cand[jnp.argmax(counts)]
-
-
-@f32
 def sampson_sq_error(
     F: jnp.ndarray, src: jnp.ndarray, dst: jnp.ndarray
 ) -> jnp.ndarray:

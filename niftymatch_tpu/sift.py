@@ -20,8 +20,6 @@ Matching (``match_pair``) reproduces ``compute_sift_matches``
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
@@ -100,11 +98,6 @@ def match_pair(
         b_valid=feats_b.valid,
         precision=precision,
     )
-
-
-@partial(jax.jit, static_argnums=(2,))
-def _detect_jit(image, _dummy, config: SiftConfig):
-    return detect_and_describe(image, config)
 
 
 def make_detector(config: SiftConfig):

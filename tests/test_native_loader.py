@@ -106,3 +106,21 @@ def test_bad_png_rejected(tmp_path):
     with open(p, "wb") as f:
         f.write(b"not a png at all, definitely not")
     assert native_loader.png_info(p) is None
+
+
+@needs_native
+def test_prefetch_loader_mixed_resolutions(tmp_path, rng):
+    # Smaller-than-first frames must come back unscrambled (flat-buffer
+    # reshape by the RETURNED dims, not a strided view of the first shape).
+    big = (rng.uniform(0, 255, (8, 6))).astype(np.uint8)
+    small = (rng.uniform(0, 255, (4, 4))).astype(np.uint8)
+    p1 = str(tmp_path / "a.png")
+    p2 = str(tmp_path / "b.png")
+    write_png(p1, big)
+    write_png(p2, small)
+    loader = native_loader.PrefetchLoader([p1, p2], threads=2)
+    got = list(loader)
+    loader.close()
+    np.testing.assert_allclose(got[0], big.astype(np.float32))
+    assert got[1].shape == (4, 4)
+    np.testing.assert_allclose(got[1], small.astype(np.float32))
