@@ -31,7 +31,13 @@ from .config import (
 )
 from .features import Features, concat_features, topk_features
 from .geometry import RansacResult, align_points, ransac
-from .sift import detect_and_describe, make_detector, make_pair_pipeline, match_pair
+from .sift import (
+    detect_and_describe,
+    make_batch_detector,
+    make_detector,
+    make_pair_pipeline,
+    match_pair,
+)
 
 __version__ = "0.1.0"
 
@@ -52,6 +58,7 @@ __all__ = [
     "ransac",
     "topk_features",
     "detect_and_describe",
+    "make_batch_detector",
     "make_detector",
     "make_pair_pipeline",
     "match_pair",

@@ -110,6 +110,18 @@ def make_detector(config: SiftConfig):
     return detect
 
 
+def make_batch_detector(config: SiftConfig):
+    """Returns a jitted ``(B, H, W) -> Features`` closure (leading batch
+    axis on every Features field).  Single-device batching; for multi-device
+    data parallelism shard the batch with ``parallel.shard_detect``."""
+
+    @jax.jit
+    def detect(images):
+        return jax.vmap(lambda im: detect_and_describe(im, config))(images)
+
+    return detect
+
+
 def make_pair_pipeline(config: PipelineConfig):
     """Returns a jitted ``(img_a, img_b) -> (Features, Features, MatchResult)``
     for the flagship detect+match forward step (BASELINE config 1)."""

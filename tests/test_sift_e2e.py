@@ -110,3 +110,19 @@ def test_concat_and_topk_features():
     r = np.asarray(top.response)
     assert np.all(np.asarray(top.valid))
     np.testing.assert_array_equal(r, [103, 102, 101, 100, 7, 6])
+
+
+def test_batch_detector_matches_single(test_image):
+    import jax.numpy as jnp
+    from niftymatch_tpu import SiftConfig, make_batch_detector, make_detector
+
+    cfg = SiftConfig(width=128, height=96, max_keypoints_per_level=64,
+                     max_features=128)
+    single = make_detector(cfg)
+    batch = make_batch_detector(cfg)
+    imgs = jnp.stack([jnp.asarray(test_image), jnp.asarray(test_image[::-1, ::-1].copy())])
+    out = batch(imgs)
+    ref = single(imgs[1])
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(out.x[1]), np.asarray(ref.x), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out.valid[1]), np.asarray(ref.valid))
