@@ -95,6 +95,12 @@ class SiftConfig:
     # block => W <= blockDim/2 - 1 = 10 (orientation.cu:29,224)
     max_orientation_radius: int = 10
 
+    # Emit a second feature per keypoint at the second orientation peak
+    # (VLFeat behaviour; the reference computes two peaks but only ever
+    # describes the first, descriptor.cu:89).  Doubles per-octave feature
+    # capacity and raises match density on rotation-rich scenes.
+    use_second_orientation: bool = False
+
     # Route pyramid blurs through the Pallas kernel (pallas/blur.py).
     # EXPERIMENTAL, off by default: standalone the kernel is 3-12x faster
     # than the XLA conv, but composed inside the fully-jitted detector the

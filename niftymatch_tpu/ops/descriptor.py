@@ -171,13 +171,16 @@ def compute_descriptors(
     grad: jnp.ndarray,          # (L, H, W, 2)
     octave: int,
     config: SiftConfig,
+    angle_index: int = 0,
 ):
     """Descriptors for one octave's keypoints: (L, K, 128) + validity (L, K).
 
     Mirrors ``compute_descriptors`` (``siftfunctions.cu:154-181``) except
-    capacity clamping is deferred to the global top-k selection.  Like the
-    reference (``descriptor.cu:89``), only the first orientation angle is
-    used — one descriptor per keypoint.
+    capacity clamping is deferred to the global top-k selection.
+    ``angle_index`` selects which orientation peak to describe: the
+    reference only ever uses peak 0 (``descriptor.cu:89``); VLFeat emits one
+    feature per peak — enable ``SiftConfig.use_second_orientation`` to add
+    peak-1 features (the driver calls this twice).
     """
     xper = float(2.0 ** octave)
     x = keypoints.x / xper
@@ -189,13 +192,13 @@ def compute_descriptors(
     dvalids = []
     for lvl in range(num_levels):
         radius = static_radius_for_level(lvl, config)
-        valid = keypoints.valid[lvl] & angles_valid[lvl, :, 0]
+        valid = keypoints.valid[lvl] & angles_valid[lvl, :, angle_index]
         d = _descriptors_one_level(
             grad[lvl],
             x[lvl],
             y[lvl],
             s[lvl],
-            angles[lvl, :, 0],
+            angles[lvl, :, angle_index],
             valid,
             radius,
             config,

@@ -35,22 +35,41 @@ from .ops.pyramid import build_pyramid
 def _octave_features(octave_idx, octave_data, config: SiftConfig) -> Features:
     kpts = detect_keypoints(octave_data.dog, octave_idx, config)
     angles, avalid = compute_orientations(kpts, octave_data.grad, octave_idx, config)
-    desc, dvalid = compute_descriptors(
-        kpts, angles, avalid, octave_data.grad, octave_idx, config
-    )
     L, K = kpts.x.shape
     flat = lambda a: a.reshape(L * K, *a.shape[2:])
-    return Features(
-        x=flat(kpts.x),
-        y=flat(kpts.y),
-        sigma=flat(kpts.sigma),
-        angle=flat(jnp.where(avalid[..., 0], angles[..., 0], 0.0)),
-        response=flat(kpts.response),
-        octave=jnp.full((L * K,), octave_idx, jnp.int32),
-        level=flat(kpts.level),
-        desc=flat(desc),
-        valid=flat(dvalid),
-    )
+
+    def block(angle_index: int) -> Features:
+        desc, dvalid = compute_descriptors(
+            kpts,
+            angles,
+            avalid,
+            octave_data.grad,
+            octave_idx,
+            config,
+            angle_index=angle_index,
+        )
+        return Features(
+            x=flat(kpts.x),
+            y=flat(kpts.y),
+            sigma=flat(kpts.sigma),
+            angle=flat(
+                jnp.where(
+                    avalid[..., angle_index], angles[..., angle_index], 0.0
+                )
+            ),
+            response=flat(kpts.response),
+            octave=jnp.full((L * K,), octave_idx, jnp.int32),
+            level=flat(kpts.level),
+            desc=flat(desc),
+            valid=flat(dvalid),
+        )
+
+    out = block(0)
+    if config.use_second_orientation:
+        # One feature per orientation peak (VLFeat convention); peak-1
+        # features only exist where the histogram had a second peak.
+        out = concat_features([out, block(1)])
+    return out
 
 
 def detect_and_describe(image: jnp.ndarray, config: SiftConfig) -> Features:
