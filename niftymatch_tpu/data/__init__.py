@@ -5,6 +5,7 @@ package provides the evaluation inputs for BASELINE configs 2-5: synthetic
 multi-view scenes with exact ground truth, and TUM RGB-D trajectory
 parsing/writing for ATE evaluation."""
 
+from . import euroc, native_loader, tum
 from .synthetic import (
     SyntheticScene,
     make_observation_table,
@@ -14,6 +15,9 @@ from .synthetic import (
 
 __all__ = [
     "SyntheticScene",
+    "euroc",
+    "native_loader",
+    "tum",
     "make_observation_table",
     "make_scene",
     "render_frames",

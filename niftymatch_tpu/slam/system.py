@@ -40,6 +40,7 @@ class SlamConfig:
     width: int = 640
     height: int = 480
     intrinsics: tuple = (525.0, 525.0, 320.0, 240.0)  # fx, fy, cx, cy
+    distortion: tuple | None = None  # (k1, k2, k3) radial; None = rectified
     ransac: RansacConfig = dataclasses.field(
         default_factory=lambda: RansacConfig(iterations=1024, inlier_threshold=4.0)
     )
@@ -80,6 +81,17 @@ class SlamSystem:
         )
         self._detect = make_detector(sift_cfg)
         fx4 = tuple(float(v) for v in config.intrinsics)
+        if config.distortion is not None:
+            from ..ops.warp import undistort_map
+
+            self._undist = undistort_map(
+                jnp.asarray(fx4, jnp.float32),
+                jnp.asarray(config.distortion, jnp.float32),
+                config.height,
+                config.width,
+            )
+        else:
+            self._undist = None
         self._two_view = jax.jit(
             lambda fa, fb: estimate_two_view(
                 fa, fb, fx4, ransac_config=config.ransac
@@ -100,7 +112,12 @@ class SlamSystem:
     # ------------------------------------------------------------------
     def process_frame(self, image) -> dict:
         """Ingest one grayscale frame; returns per-frame status."""
-        feats = self._detect(jnp.asarray(image, jnp.float32))
+        frame = jnp.asarray(image, jnp.float32)
+        if self._undist is not None:
+            from ..ops.warp import remap
+
+            frame = remap(frame, self._undist[0], self._undist[1])
+        feats = self._detect(frame)
         return self.process_features(feats)
 
     def process_features(self, feats: Features) -> dict:
