@@ -1,0 +1,123 @@
+"""Global bundle adjustment at scale (BASELINE config 5 shape).
+
+Synthesises a 1DSfM-style problem — many cameras observing a large landmark
+cloud — partitions landmarks over the available mesh, and runs the
+distributed Schur-reduced LM solver, reporting convergence and throughput.
+
+On the single tunneled TPU chip this measures the absolute solver speed at
+scale (mesh size 1); on the virtual CPU mesh or a real slice it exercises
+the landmark-sharded psum reduction.  The per-iteration collective payload
+is (6C)^2 + 6C floats regardless of L and O.
+
+Usage: python benchmarks/global_ba_eval.py [--cams 64] [--landmarks 8192]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cams", type=int, default=64)
+    ap.add_argument("--landmarks", type=int, default=8192)
+    ap.add_argument("--iterations", type=int, default=10)
+    ap.add_argument("--noise", type=float, default=1.0, help="obs noise px")
+    args = ap.parse_args()
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from niftymatch_tpu.config import BAConfig
+    from niftymatch_tpu.data.synthetic import make_observation_table, make_scene
+    from niftymatch_tpu.parallel import (
+        distributed_bundle_adjust,
+        make_keyframe_mesh,
+        partition_by_landmark,
+    )
+    from niftymatch_tpu.sfm.ba import BAProblem
+    from niftymatch_tpu.sfm.se3 import se3_compose, se3_exp
+
+    C, L = args.cams, args.landmarks
+    scene = make_scene(
+        num_cams=C, num_landmarks=L, seed=0, radius=8.0,
+        arc=(0.0, 2 * np.pi * (C - 1) / C),
+    )
+    obs_uv, obs_cam, obs_lm, valid = make_observation_table(
+        scene, seed=0, noise_px=args.noise
+    )
+    O = obs_uv.shape[0]
+    rng = np.random.default_rng(7)
+    xi = rng.normal(0, 0.01, size=(C, 6)).astype(np.float32)
+    xi[:2] = 0
+    noisy_poses = np.asarray(
+        se3_compose(se3_exp(jnp.asarray(xi)), jnp.asarray(scene.poses))
+    )
+    noisy_lms = scene.landmarks + rng.normal(0, 0.05, scene.landmarks.shape).astype(
+        np.float32
+    )
+    fixed = np.zeros(C, bool)
+    fixed[:2] = True
+    problem = BAProblem(
+        poses=jnp.asarray(noisy_poses),
+        landmarks=jnp.asarray(noisy_lms),
+        intrinsics=jnp.asarray(scene.intrinsics),
+        obs_uv=jnp.asarray(obs_uv),
+        obs_cam=jnp.asarray(obs_cam),
+        obs_lm=jnp.asarray(obs_lm),
+        obs_valid=jnp.asarray(valid),
+        pose_fixed=jnp.asarray(fixed),
+    )
+
+    n_dev = len(jax.devices())
+    mesh = make_keyframe_mesh(n_dev)
+    sharded = partition_by_landmark(problem, n_dev)
+    cfg = BAConfig(max_iterations=args.iterations, damping=1e-3)
+
+    # Compile + one warm run.
+    solved, stats = distributed_bundle_adjust(sharded, mesh, cfg)
+    jax.block_until_ready(solved.poses)
+    t0 = time.perf_counter()
+    solved, stats = distributed_bundle_adjust(sharded, mesh, cfg)
+    jax.block_until_ready(solved.poses)
+    wall = time.perf_counter() - t0
+
+    pose_err = float(np.abs(np.asarray(solved.poses) - scene.poses).max())
+    print(
+        json.dumps(
+            {
+                "cams": C,
+                "landmarks": L,
+                "observations": int(O),
+                "mesh_devices": n_dev,
+                "lm_iterations": args.iterations,
+                "wall_s": round(wall, 3),
+                "iterations_per_s": round(args.iterations / wall, 2),
+                "obs_per_s": round(O * args.iterations / wall / 1e6, 3),
+                "obs_per_s_unit": "M obs-updates/s",
+                "initial_cost": round(float(stats.initial_cost), 2),
+                "final_cost": round(float(stats.final_cost), 4),
+                "max_pose_err": round(pose_err, 5),
+            },
+            indent=2,
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
