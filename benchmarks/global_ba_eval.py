@@ -89,11 +89,13 @@ def main():
     sharded = partition_by_landmark(problem, n_dev)
     cfg = BAConfig(max_iterations=args.iterations, damping=1e-3)
 
-    # Compile + one warm run.
+    # Compile + one warm run; the timed run uses perturbed inputs (identical
+    # repeated dispatches can be memoized by runtimes and time as zero).
     solved, stats = distributed_bundle_adjust(sharded, mesh, cfg)
     jax.block_until_ready(solved.poses)
+    sharded2 = sharded._replace(landmarks=sharded.landmarks + 1e-4)
     t0 = time.perf_counter()
-    solved, stats = distributed_bundle_adjust(sharded, mesh, cfg)
+    solved, stats = distributed_bundle_adjust(sharded2, mesh, cfg)
     jax.block_until_ready(solved.poses)
     wall = time.perf_counter() - t0
 
