@@ -51,7 +51,8 @@ class SlamConfig:
     ba_window: int = 5          # keyframes per BA window
     ba_every: int = 3           # run windowed BA every k keyframes
     max_tracks: int = 4096      # landmark capacity
-    max_obs: int = 8192         # BA observation capacity
+    max_obs: int = 8192         # BA observation capacity (fixed shape)
+    ba_landmarks_cap: int = 1024  # window-BA landmark capacity (fixed shape)
     detector_features: int = 1024
     # Loop closure: candidate pairs need >= loop_min_matches ratio-test
     # matches between keyframes >= loop_min_gap apart; verified closures
@@ -67,6 +68,16 @@ class Keyframe:
     feats: Features                 # device
     pose: jnp.ndarray               # (3, 4) world->cam, device
     track_ids: np.ndarray           # (N,) int64 host; -1 = no track
+    # Host mirrors of the (immutable) keypoint coords — fetched once at
+    # construction so window assembly never re-crosses the device boundary.
+    host_x: np.ndarray = None
+    host_y: np.ndarray = None
+
+    def __post_init__(self):
+        if self.host_x is None:
+            self.host_x, self.host_y = jax.device_get(
+                (self.feats.x, self.feats.y)
+            )
 
 
 class SlamSystem:
@@ -100,6 +111,7 @@ class SlamSystem:
         self._triangulate = jax.jit(
             lambda Ta, Tb, fa, fb, m: triangulate_in_world(Ta, Tb, fa, fb, m, fx4)
         )
+        self._ba = jax.jit(lambda p: bundle_adjust(p, config.ba))
         self.keyframes: List[Keyframe] = []
         # Global track store (host bookkeeping + device positions).
         self._next_track = 0
@@ -135,12 +147,29 @@ class SlamSystem:
 
         last = self.keyframes[-1]
         tv = self._two_view(last.feats, feats)
-        success = bool(tv.success)
-        num_inl = int(tv.num_inliers)
+        # ONE host round-trip for everything the bookkeeping needs (each
+        # individual np.asarray is a full tunnel RTT).
+        host = jax.device_get(
+            (
+                tv.success,
+                tv.num_inliers,
+                tv.matches.indices,
+                tv.inliers,
+                tv.points,
+                tv.point_valid,
+            )
+        )
+        success, num_inl = bool(host[0]), int(host[1])
+        tv_host = {
+            "indices": host[2],
+            "inliers": host[3],
+            "points": host[4],
+            "point_valid": host[5],
+        }
         if not success or num_inl < self.config.min_inliers:
             return {"keyframe": False, "num_inliers": num_inl, "tracked": 0}
 
-        scale = self._resolve_scale(last, tv)
+        scale = self._resolve_scale(last, tv_host)
         T_rel = jnp.concatenate([tv.R, (scale * tv.t)[:, None]], axis=-1)
         pose = se3_compose(T_rel, last.pose)
 
@@ -150,7 +179,7 @@ class SlamSystem:
             pose=pose,
             track_ids=np.full((feats.x.shape[0],), -1, np.int64),
         )
-        tracked = self._propagate_tracks(last, kf, tv)
+        tracked = self._propagate_tracks(last, kf, tv, tv_host)
         self.keyframes.append(kf)
 
         self._frames_since_ba += 1
@@ -170,23 +199,22 @@ class SlamSystem:
     # ------------------------------------------------------------------
     # Internals
     # ------------------------------------------------------------------
-    def _resolve_scale(self, last: Keyframe, tv) -> jnp.ndarray:
+    def _resolve_scale(self, last: Keyframe, tv_host: dict) -> jnp.ndarray:
         """Monocular scale: median ratio of known landmark depth (in the
         last keyframe) to the unit-baseline triangulated depth, over
-        re-observed tracks.  First pair defines scale = 1."""
+        re-observed tracks.  First pair defines scale = 1.  Pure host math
+        (pose fetched once; points already fetched)."""
         ids = last.track_ids
         has_track = (ids >= 0) & self.track_alive[np.maximum(ids, 0)]
         if not has_track.any() or len(self.keyframes) < 2:
             return jnp.float32(1.0)
-        # Depth of stored world landmarks in the last keyframe's camera.
         world = self.track_positions[np.maximum(ids, 0)]
-        from ..sfm.se3 import se3_apply
-
-        d_world = np.asarray(se3_apply(last.pose, jnp.asarray(world)))[:, 2]
-        d_unit = np.asarray(tv.points)[:, 2]
+        T = np.asarray(last.pose)
+        d_world = (world @ T[:, :3].T + T[:, 3])[:, 2]
+        d_unit = tv_host["points"][:, 2]
         ok = (
             has_track
-            & np.asarray(tv.point_valid)
+            & tv_host["point_valid"]
             & (d_unit > 1e-3)
             & (d_world > 1e-3)
         )
@@ -194,61 +222,89 @@ class SlamSystem:
             return jnp.float32(1.0)
         return jnp.float32(np.median(d_world[ok] / d_unit[ok]))
 
-    def _propagate_tracks(self, last: Keyframe, kf: Keyframe, tv) -> int:
-        """Assign track IDs to the new keyframe's slots and triangulate."""
-        m_idx = np.asarray(tv.matches.indices)
-        inl = np.asarray(tv.inliers)
-        pts_w, valid_w = self._triangulate(
-            last.pose, kf.pose, last.feats, kf.feats, tv.matches
+    def _propagate_tracks(
+        self, last: Keyframe, kf: Keyframe, tv, tv_host: dict
+    ) -> int:
+        """Assign track IDs to the new keyframe's slots and triangulate.
+
+        Vectorised host bookkeeping (no per-inlier Python loop); one
+        batched device fetch for the triangulation."""
+        m_idx = tv_host["indices"]
+        inl = tv_host["inliers"]
+        pts_w, valid_w = jax.device_get(
+            self._triangulate(last.pose, kf.pose, last.feats, kf.feats, tv.matches)
         )
-        pts_w = np.asarray(pts_w)
-        valid_w = np.asarray(valid_w) & inl
-        tracked = 0
-        for i in np.nonzero(valid_w)[0]:
-            j = m_idx[i]
-            if j < 0:
-                continue
-            tid = last.track_ids[i]
-            if tid < 0:
-                if self._next_track >= self.config.max_tracks:
-                    continue
-                tid = self._next_track
-                self._next_track += 1
-                last.track_ids[i] = tid
-            kf.track_ids[j] = tid
-            self.track_positions[tid] = pts_w[i]
-            self.track_alive[tid] = True
-            tracked += 1
-        return tracked
+        sel = np.nonzero(valid_w & inl & (m_idx >= 0))[0]
+        if sel.size == 0:
+            return 0
+        tids = last.track_ids[sel].copy()
+        # Mint new track ids for slots without one (capacity-bounded).
+        need = np.nonzero(tids < 0)[0]
+        n_new = min(len(need), self.config.max_tracks - self._next_track)
+        if n_new > 0:
+            new_ids = np.arange(
+                self._next_track, self._next_track + n_new, dtype=np.int64
+            )
+            tids[need[:n_new]] = new_ids
+            self._next_track += n_new
+        keep = tids >= 0
+        sel = sel[keep]
+        tids = tids[keep]
+        last.track_ids[sel] = tids
+        kf.track_ids[m_idx[sel]] = tids
+        self.track_positions[tids] = pts_w[sel]
+        self.track_alive[tids] = True
+        return int(sel.size)
 
     def _window_problem(self, window: List[Keyframe]):
-        """Assemble a fixed-capacity BAProblem from a keyframe window."""
+        """Assemble a FIXED-CAPACITY BAProblem from a keyframe window.
+
+        All shapes depend only on (window size, ba_landmarks_cap, max_obs),
+        so the jitted solver compiles once per window size instead of once
+        per frame (varying observation counts were recompiling BA every
+        call — 3.3 s/keyframe).  Assembly is vectorised numpy."""
         C = len(window)
         cfg = self.config
-        # Active tracks: seen >= 2 times inside the window.
-        counts: dict[int, int] = {}
-        for kf in window:
-            for tid in kf.track_ids[kf.track_ids >= 0]:
-                counts[int(tid)] = counts.get(int(tid), 0) + 1
-        active = [t for t, c in counts.items() if c >= 2]
+        ids = np.stack([kf.track_ids for kf in window])  # (C, N)
+        has = ids >= 0
+        if not has.any():
+            return None, None, None
+        counts = np.bincount(ids[has], minlength=cfg.max_tracks)
+        active_mask = counts >= 2
+        active = np.nonzero(active_mask)[0]
         if len(active) < 8:
             return None, None, None
-        lmap = {t: i for i, t in enumerate(active)}
-        L = len(active)
+        if len(active) > cfg.ba_landmarks_cap:
+            # Keep the most-observed tracks.
+            order = np.argsort(-counts[active], kind="stable")
+            active = np.sort(active[order[: cfg.ba_landmarks_cap]])
+        L_cap = cfg.ba_landmarks_cap
+        lmap = np.full(cfg.max_tracks, -1, np.int64)
+        lmap[active] = np.arange(len(active))
 
-        obs_uv, obs_cam, obs_lm = [], [], []
-        for ci, kf in enumerate(window):
-            xs = np.asarray(kf.feats.x)
-            ys = np.asarray(kf.feats.y)
-            for slot in np.nonzero(kf.track_ids >= 0)[0]:
-                tid = int(kf.track_ids[slot])
-                if tid in lmap:
-                    obs_uv.append((xs[slot], ys[slot]))
-                    obs_cam.append(ci)
-                    obs_lm.append(lmap[tid])
-        O = len(obs_uv)
-        if O < 16 or O > cfg.max_obs:
+        xs = np.stack([kf.host_x for kf in window])  # (C, N)
+        ys = np.stack([kf.host_y for kf in window])
+        local = np.where(has, lmap[np.maximum(ids, 0)], -1)       # (C, N)
+        ci, si = np.nonzero(local >= 0)
+        O = len(ci)
+        if O < 16:
             return None, None, None
+        O_cap = cfg.max_obs
+        if O > O_cap:
+            ci, si = ci[:O_cap], si[:O_cap]
+            O = O_cap
+        obs_uv = np.zeros((O_cap, 2), np.float32)
+        obs_cam = np.zeros(O_cap, np.int32)
+        obs_lm = np.zeros(O_cap, np.int32)
+        obs_valid = np.zeros(O_cap, bool)
+        obs_uv[:O, 0] = xs[ci, si]
+        obs_uv[:O, 1] = ys[ci, si]
+        obs_cam[:O] = ci
+        obs_lm[:O] = local[ci, si]
+        obs_valid[:O] = True
+
+        lms = np.zeros((L_cap, 3), np.float32)
+        lms[: len(active)] = self.track_positions[active]
 
         fixed = np.zeros(C, bool)
         fixed[0] = True
@@ -256,12 +312,12 @@ class SlamSystem:
             fixed[1] = True  # pin the 7-DoF monocular gauge
         problem = BAProblem(
             poses=jnp.stack([kf.pose for kf in window]),
-            landmarks=jnp.asarray(self.track_positions[active]),
+            landmarks=jnp.asarray(lms),
             intrinsics=jnp.asarray(np.asarray(self.config.intrinsics, np.float32)),
-            obs_uv=jnp.asarray(np.asarray(obs_uv, np.float32)),
-            obs_cam=jnp.asarray(np.asarray(obs_cam, np.int32)),
-            obs_lm=jnp.asarray(np.asarray(obs_lm, np.int32)),
-            obs_valid=jnp.ones((O,), bool),
+            obs_uv=jnp.asarray(obs_uv),
+            obs_cam=jnp.asarray(obs_cam),
+            obs_lm=jnp.asarray(obs_lm),
+            obs_valid=jnp.asarray(obs_valid),
             pose_fixed=jnp.asarray(fixed),
         )
         return problem, active, window
@@ -334,9 +390,14 @@ class SlamSystem:
         for (j, i, _cnt) in cands:  # j < i: edge from i to j
             kf_j, kf_i = self.keyframes[j], self.keyframes[i]
             tv = self._two_view(kf_j.feats, kf_i.feats)
-            if not bool(tv.success) or int(tv.num_inliers) < self.config.loop_min_matches:
+            ok, n_inl, pts, pv = jax.device_get(
+                (tv.success, tv.num_inliers, tv.points, tv.point_valid)
+            )
+            if not bool(ok) or int(n_inl) < self.config.loop_min_matches:
                 continue
-            scale = self._resolve_scale(kf_j, tv)
+            scale = self._resolve_scale(
+                kf_j, {"points": pts, "point_valid": pv}
+            )
             T_rel = jnp.concatenate(
                 [tv.R, (scale * tv.t)[:, None]], axis=-1
             )  # pose of i in j's camera frame: Z = T_i T_j^-1
@@ -371,12 +432,12 @@ class SlamSystem:
         problem, active, window = self._window_problem(window)
         if problem is None:
             return False
-        solved, stats = bundle_adjust(problem, self.config.ba)
+        solved, stats = self._ba(problem)
         improved = float(stats.final_cost) <= float(stats.initial_cost)
         if not improved:
             return False
         poses = np.asarray(solved.poses)
         for ci, kf in enumerate(window):
             kf.pose = jnp.asarray(poses[ci])
-        self.track_positions[active] = np.asarray(solved.landmarks)
+        self.track_positions[active] = np.asarray(solved.landmarks)[: len(active)]
         return True
