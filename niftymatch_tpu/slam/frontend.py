@@ -145,6 +145,89 @@ def estimate_two_view(
     )
 
 
+class SlamStepResult(NamedTuple):
+    """Everything the host bookkeeping needs from one SLAM frame, produced
+    by a single compiled dispatch (one tunnel round-trip to fetch)."""
+
+    indices: jnp.ndarray       # (N,) match indices into the new frame
+    inliers: jnp.ndarray       # (N,) bool
+    num_inliers: jnp.ndarray   # () int32
+    success: jnp.ndarray       # () bool
+    scale: jnp.ndarray         # () float32 resolved monocular scale
+    pose: jnp.ndarray          # (3, 4) world->cam pose of the new frame
+    points_w: jnp.ndarray      # (N, 3) world points (A-slot aligned)
+    points_valid: jnp.ndarray  # (N,) bool (mask & cheirality in both views)
+
+
+def masked_median(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Median of ``values[mask]`` (numpy convention: mean of the two middle
+    elements for even counts).  Returns an arbitrary value when the mask is
+    empty — guard at the call site."""
+    k = jnp.sum(mask.astype(jnp.int32))
+    s = jnp.sort(jnp.where(mask, values, jnp.inf))
+    lo = s[jnp.maximum((k - 1) // 2, 0)]
+    hi = s[jnp.maximum(k // 2, 0)]
+    return 0.5 * (lo + hi)
+
+
+def slam_step(
+    last_feats: Features,
+    feats: Features,
+    last_pose: jnp.ndarray,
+    last_world: jnp.ndarray,
+    has_track: jnp.ndarray,
+    intrinsics: tuple[float, float, float, float],
+    ransac_config: RansacConfig,
+    min_scale_obs: int = 5,
+) -> SlamStepResult:
+    """One fused SLAM frame: two-view estimate vs. the last keyframe,
+    monocular scale from re-observed landmarks, pose composition, and
+    triangulation of the matches at the new world pose.
+
+    This is the whole device side of ``SlamSystem.process_features`` as a
+    single jitted program: the reference's host-driven per-stage dispatch
+    (SURVEY.md §3.1, one launch + sync per stage) becomes one launch and a
+    single host fetch — essential when the accelerator sits behind a
+    network tunnel where every readback is a full round-trip.
+
+    ``last_world``/``has_track`` are the stored landmark positions (and
+    their liveness) gathered at the last keyframe's feature slots — tiny
+    host->device uploads that replace a device->host pose/point fetch.
+
+    Scale resolution matches the host original: median over re-observed
+    tracks of (landmark depth in last camera) / (unit-baseline triangulated
+    depth); identity when fewer than ``min_scale_obs`` ratios survive."""
+    from ..sfm.se3 import se3_apply, se3_compose
+
+    tv = estimate_two_view(last_feats, feats, intrinsics, ransac_config)
+
+    d_world = se3_apply(last_pose, last_world)[:, 2]
+    d_unit = tv.points[:, 2]
+    ok = has_track & tv.point_valid & (d_unit > 1e-3) & (d_world > 1e-3)
+    ratios = d_world / jnp.maximum(d_unit, 1e-9)
+    scale = jnp.where(
+        jnp.sum(ok.astype(jnp.int32)) >= min_scale_obs,
+        masked_median(ratios, ok),
+        jnp.float32(1.0),
+    )
+
+    T_rel = jnp.concatenate([tv.R, (scale * tv.t)[:, None]], axis=-1)
+    pose = se3_compose(T_rel, last_pose)
+    pts_w, valid_w = triangulate_in_world(
+        last_pose, pose, last_feats, feats, tv.matches, intrinsics
+    )
+    return SlamStepResult(
+        indices=tv.matches.indices,
+        inliers=tv.inliers,
+        num_inliers=tv.num_inliers,
+        success=tv.success,
+        scale=scale,
+        pose=pose,
+        points_w=pts_w,
+        points_valid=valid_w,
+    )
+
+
 def triangulate_in_world(
     T_wa: jnp.ndarray,
     T_wb: jnp.ndarray,

@@ -32,7 +32,7 @@ from ..features import Features
 from ..sfm.ba import BAProblem, bundle_adjust
 from ..sfm.se3 import camera_center, se3_compose, se3_identity
 from ..sift import make_detector
-from .frontend import estimate_two_view, normalize_points, triangulate_in_world
+from .frontend import estimate_two_view, normalize_points, slam_step
 
 
 @dataclasses.dataclass
@@ -68,12 +68,13 @@ class Keyframe:
     feats: Features                 # device
     pose: jnp.ndarray               # (3, 4) world->cam, device
     track_ids: np.ndarray           # (N,) int64 host; -1 = no track
-    # Host mirrors of the (immutable) keypoint coords — fetched once at
-    # construction so window assembly never re-crosses the device boundary.
+    # Host mirrors of the (immutable) keypoint coords — populated lazily or
+    # from an already-batched fetch so window assembly never re-crosses the
+    # device boundary.
     host_x: np.ndarray = None
     host_y: np.ndarray = None
 
-    def __post_init__(self):
+    def ensure_host_coords(self):
         if self.host_x is None:
             self.host_x, self.host_y = jax.device_get(
                 (self.feats.x, self.feats.y)
@@ -108,10 +109,44 @@ class SlamSystem:
                 fa, fb, fx4, ransac_config=config.ransac
             )
         )
-        self._triangulate = jax.jit(
-            lambda Ta, Tb, fa, fb, m: triangulate_in_world(Ta, Tb, fa, fb, m, fx4)
+        self._step = jax.jit(
+            lambda fa, fb, T, world, has: slam_step(
+                fa, fb, T, world, has, fx4, config.ransac
+            )
         )
-        self._ba = jax.jit(lambda p: bundle_adjust(p, config.ba))
+        O_cap, L_cap = config.max_obs, config.ba_landmarks_cap
+
+        def _ba_gated(poses, buf):
+            # The host packs the whole problem into ONE float32 buffer (one
+            # tunnel upload instead of six); unpack with static slicing.
+            # obs_cam/obs_lm ride as floats — exact below 2^24.
+            o2, o3, o4, o5 = 2 * O_cap, 3 * O_cap, 4 * O_cap, 5 * O_cap
+            C = poses.shape[0]
+            p = BAProblem(
+                poses=poses,
+                landmarks=buf[o5 : o5 + 3 * L_cap].reshape(L_cap, 3),
+                intrinsics=jnp.asarray(
+                    np.asarray(config.intrinsics, np.float32)
+                ),
+                obs_uv=buf[:o2].reshape(O_cap, 2),
+                obs_cam=buf[o2:o3].astype(jnp.int32),
+                obs_lm=buf[o3:o4].astype(jnp.int32),
+                obs_valid=buf[o4:o5] > 0.5,
+                pose_fixed=buf[o5 + 3 * L_cap : o5 + 3 * L_cap + C] > 0.5,
+            )
+            # Accept/reject ON DEVICE so the host never has to block on the
+            # solver before using its output: rejected solves fall back to
+            # the input state inside the compiled program.
+            solved, stats = bundle_adjust(p, config.ba)
+            improved = stats.final_cost <= stats.initial_cost
+            out_poses = jnp.where(improved, solved.poses, p.poses)
+            lms = jnp.where(improved, solved.landmarks, p.landmarks)
+            return out_poses, lms, stats
+
+        self._ba = jax.jit(_ba_gated)
+        # In-flight windowed-BA landmark update, harvested (one batched
+        # fetch) at the start of the next frame.
+        self._pending_ba = None
         self.keyframes: List[Keyframe] = []
         # Global track store (host bookkeeping + device positions).
         self._next_track = 0
@@ -146,40 +181,51 @@ class SlamSystem:
             return {"keyframe": True, "num_inliers": 0, "tracked": 0}
 
         last = self.keyframes[-1]
-        tv = self._two_view(last.feats, feats)
-        # ONE host round-trip for everything the bookkeeping needs (each
-        # individual np.asarray is a full tunnel RTT).
+        # Stored landmark depth context for scale resolution: tiny host->
+        # device uploads instead of any mid-frame readback.  (An in-flight
+        # BA landmark update is harvested in the same batched fetch below —
+        # the scale context may be one refinement behind, which the median
+        # estimator absorbs.)
+        ids = last.track_ids
+        has_track = (ids >= 0) & self.track_alive[np.maximum(ids, 0)]
+        world = self.track_positions[np.maximum(ids, 0)]
+        out = self._step(
+            last.feats, feats, last.pose, jnp.asarray(world), jnp.asarray(has_track)
+        )
+        pending, self._pending_ba = self._pending_ba, None
+        # ONE device dispatch above, ONE host round-trip here — every extra
+        # fetch through the accelerator tunnel is a full network RTT.
         host = jax.device_get(
             (
-                tv.success,
-                tv.num_inliers,
-                tv.matches.indices,
-                tv.inliers,
-                tv.points,
-                tv.point_valid,
+                out.success,
+                out.num_inliers,
+                out.indices,
+                out.inliers,
+                out.points_w,
+                out.points_valid,
+                feats.x,
+                feats.y,
             )
+            + ((pending[0],) if pending is not None else ())
         )
+        if pending is not None:
+            active = pending[2]
+            self.track_positions[active] = host[8][: len(active)]
         success, num_inl = bool(host[0]), int(host[1])
-        tv_host = {
-            "indices": host[2],
-            "inliers": host[3],
-            "points": host[4],
-            "point_valid": host[5],
-        }
         if not success or num_inl < self.config.min_inliers:
             return {"keyframe": False, "num_inliers": num_inl, "tracked": 0}
-
-        scale = self._resolve_scale(last, tv_host)
-        T_rel = jnp.concatenate([tv.R, (scale * tv.t)[:, None]], axis=-1)
-        pose = se3_compose(T_rel, last.pose)
 
         kf = Keyframe(
             index=len(self.keyframes),
             feats=feats,
-            pose=pose,
+            pose=out.pose,
             track_ids=np.full((feats.x.shape[0],), -1, np.int64),
+            host_x=host[6],
+            host_y=host[7],
         )
-        tracked = self._propagate_tracks(last, kf, tv, tv_host)
+        tracked = self._propagate_tracks(
+            last, kf, m_idx=host[2], inl=host[3], pts_w=host[4], valid_w=host[5]
+        )
         self.keyframes.append(kf)
 
         self._frames_since_ba += 1
@@ -190,26 +236,31 @@ class SlamSystem:
 
     def trajectory(self) -> np.ndarray:
         """(K, 3) camera centers of all keyframes."""
+        self.flush_ba()
         poses = jnp.stack([kf.pose for kf in self.keyframes])
         return np.asarray(camera_center(poses))
 
     def poses(self) -> np.ndarray:
+        self.flush_ba()
         return np.asarray(jnp.stack([kf.pose for kf in self.keyframes]))
 
     # ------------------------------------------------------------------
     # Internals
     # ------------------------------------------------------------------
-    def _resolve_scale(self, last: Keyframe, tv_host: dict) -> jnp.ndarray:
+    def _resolve_scale(
+        self, last: Keyframe, tv_host: dict, host_pose: np.ndarray
+    ) -> jnp.ndarray:
         """Monocular scale: median ratio of known landmark depth (in the
         last keyframe) to the unit-baseline triangulated depth, over
         re-observed tracks.  First pair defines scale = 1.  Pure host math
-        (pose fetched once; points already fetched)."""
+        (used by loop closure; the per-frame path resolves scale on device
+        inside ``slam_step``)."""
         ids = last.track_ids
         has_track = (ids >= 0) & self.track_alive[np.maximum(ids, 0)]
         if not has_track.any() or len(self.keyframes) < 2:
             return jnp.float32(1.0)
         world = self.track_positions[np.maximum(ids, 0)]
-        T = np.asarray(last.pose)
+        T = host_pose
         d_world = (world @ T[:, :3].T + T[:, 3])[:, 2]
         d_unit = tv_host["points"][:, 2]
         ok = (
@@ -223,17 +274,11 @@ class SlamSystem:
         return jnp.float32(np.median(d_world[ok] / d_unit[ok]))
 
     def _propagate_tracks(
-        self, last: Keyframe, kf: Keyframe, tv, tv_host: dict
+        self, last: Keyframe, kf: Keyframe, *, m_idx, inl, pts_w, valid_w
     ) -> int:
-        """Assign track IDs to the new keyframe's slots and triangulate.
-
-        Vectorised host bookkeeping (no per-inlier Python loop); one
-        batched device fetch for the triangulation."""
-        m_idx = tv_host["indices"]
-        inl = tv_host["inliers"]
-        pts_w, valid_w = jax.device_get(
-            self._triangulate(last.pose, kf.pose, last.feats, kf.feats, tv.matches)
-        )
+        """Assign track IDs to the new keyframe's slots from the fused
+        step's (already-fetched) triangulation.  Vectorised host
+        bookkeeping — no device access at all."""
         sel = np.nonzero(valid_w & inl & (m_idx >= 0))[0]
         if sel.size == 0:
             return 0
@@ -282,6 +327,8 @@ class SlamSystem:
         lmap = np.full(cfg.max_tracks, -1, np.int64)
         lmap[active] = np.arange(len(active))
 
+        for kf in window:
+            kf.ensure_host_coords()
         xs = np.stack([kf.host_x for kf in window])  # (C, N)
         ys = np.stack([kf.host_y for kf in window])
         local = np.where(has, lmap[np.maximum(ids, 0)], -1)       # (C, N)
@@ -293,34 +340,24 @@ class SlamSystem:
         if O > O_cap:
             ci, si = ci[:O_cap], si[:O_cap]
             O = O_cap
-        obs_uv = np.zeros((O_cap, 2), np.float32)
-        obs_cam = np.zeros(O_cap, np.int32)
-        obs_lm = np.zeros(O_cap, np.int32)
-        obs_valid = np.zeros(O_cap, bool)
-        obs_uv[:O, 0] = xs[ci, si]
-        obs_uv[:O, 1] = ys[ci, si]
-        obs_cam[:O] = ci
-        obs_lm[:O] = local[ci, si]
-        obs_valid[:O] = True
-
-        lms = np.zeros((L_cap, 3), np.float32)
+        # Pack everything into one float32 buffer = ONE host->device upload
+        # (each separate upload through the accelerator tunnel pays a full
+        # round-trip).  Layout: uv | cam | lm | valid | landmarks | fixed.
+        buf = np.zeros(5 * O_cap + 3 * L_cap + C, np.float32)
+        uv = buf[: 2 * O_cap].reshape(O_cap, 2)
+        uv[:O, 0] = xs[ci, si]
+        uv[:O, 1] = ys[ci, si]
+        buf[2 * O_cap : 2 * O_cap + O] = ci
+        buf[3 * O_cap : 3 * O_cap + O] = local[ci, si]
+        buf[4 * O_cap : 4 * O_cap + O] = 1.0
+        lms = buf[5 * O_cap : 5 * O_cap + 3 * L_cap].reshape(L_cap, 3)
         lms[: len(active)] = self.track_positions[active]
-
-        fixed = np.zeros(C, bool)
-        fixed[0] = True
+        fixed = buf[5 * O_cap + 3 * L_cap :]
+        fixed[0] = 1.0
         if C > 1:
-            fixed[1] = True  # pin the 7-DoF monocular gauge
-        problem = BAProblem(
-            poses=jnp.stack([kf.pose for kf in window]),
-            landmarks=jnp.asarray(lms),
-            intrinsics=jnp.asarray(np.asarray(self.config.intrinsics, np.float32)),
-            obs_uv=jnp.asarray(obs_uv),
-            obs_cam=jnp.asarray(obs_cam),
-            obs_lm=jnp.asarray(obs_lm),
-            obs_valid=jnp.asarray(obs_valid),
-            pose_fixed=jnp.asarray(fixed),
-        )
-        return problem, active, window
+            fixed[1] = 1.0  # pin the 7-DoF monocular gauge
+        poses = jnp.stack([kf.pose for kf in window])
+        return (poses, jnp.asarray(buf)), active, window
 
     # ------------------------------------------------------------------
     # Loop closure
@@ -373,30 +410,34 @@ class SlamSystem:
         from ..sfm.posegraph import PoseGraph, optimize_pose_graph
         from ..sfm.se3 import se3_compose, se3_inverse
 
+        self.flush_ba()
         cands = self.detect_loop_candidates()
         K = len(self.keyframes)
         edges_i, edges_j, edges_T, weights = [], [], [], []
-        # Odometry edges from current (BA-refined) consecutive poses.
-        for k in range(K - 1):
-            Z = se3_compose(
-                self.keyframes[k + 1].pose,
-                se3_inverse(self.keyframes[k].pose),
+        # Odometry edges from current (BA-refined) consecutive poses —
+        # computed in one batched device call, fetched once.
+        poses_all = jnp.stack([kf.pose for kf in self.keyframes])
+        Z_all = np.asarray(
+            jax.vmap(lambda a, b: se3_compose(b, se3_inverse(a)))(
+                poses_all[:-1], poses_all[1:]
             )
+        )
+        for k in range(K - 1):
             edges_i.append(k + 1)
             edges_j.append(k)
-            edges_T.append(np.asarray(Z))
+            edges_T.append(Z_all[k])
             weights.append(1.0)
         accepted = 0
         for (j, i, _cnt) in cands:  # j < i: edge from i to j
             kf_j, kf_i = self.keyframes[j], self.keyframes[i]
             tv = self._two_view(kf_j.feats, kf_i.feats)
-            ok, n_inl, pts, pv = jax.device_get(
-                (tv.success, tv.num_inliers, tv.points, tv.point_valid)
+            ok, n_inl, pts, pv, pose_j = jax.device_get(
+                (tv.success, tv.num_inliers, tv.points, tv.point_valid, kf_j.pose)
             )
             if not bool(ok) or int(n_inl) < self.config.loop_min_matches:
                 continue
             scale = self._resolve_scale(
-                kf_j, {"points": pts, "point_valid": pv}
+                kf_j, {"points": pts, "point_valid": pv}, pose_j
             )
             T_rel = jnp.concatenate(
                 [tv.R, (scale * tv.t)[:, None]], axis=-1
@@ -426,18 +467,31 @@ class SlamSystem:
                 kf.pose = jnp.asarray(poses[k])
         return accepted
 
-    def run_windowed_ba(self) -> bool:
-        """Optimize the last ``ba_window`` keyframes + their tracks."""
+    def run_windowed_ba(self, block: bool = False) -> bool:
+        """Optimize the last ``ba_window`` keyframes + their tracks.
+
+        Fire-and-forget: the solve is dispatched, poses are applied as
+        device-side slices of the (device-gated) result, and the landmark
+        readback rides the NEXT frame's batched fetch — a BA frame costs
+        one tunnel round-trip like any other frame.  Pass ``block=True``
+        (or call :meth:`flush_ba`) to harvest immediately."""
+        self.flush_ba()  # at most one solve in flight; seeds must be current
         window = self.keyframes[-self.config.ba_window :]
         problem, active, window = self._window_problem(window)
         if problem is None:
             return False
-        solved, stats = self._ba(problem)
-        improved = float(stats.final_cost) <= float(stats.initial_cost)
-        if not improved:
-            return False
-        poses = np.asarray(solved.poses)
+        poses, lms, stats = self._ba(*problem)
         for ci, kf in enumerate(window):
-            kf.pose = jnp.asarray(poses[ci])
-        self.track_positions[active] = np.asarray(solved.landmarks)[: len(active)]
+            kf.pose = poses[ci]  # device-side slice, no transfer
+        self._pending_ba = (lms, stats, active)
+        if block:
+            self.flush_ba()
         return True
+
+    def flush_ba(self) -> None:
+        """Harvest an in-flight windowed-BA landmark update, if any."""
+        if self._pending_ba is None:
+            return
+        lms, stats, active = self._pending_ba
+        self._pending_ba = None
+        self.track_positions[active] = jax.device_get(lms)[: len(active)]

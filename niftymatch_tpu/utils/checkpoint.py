@@ -65,6 +65,8 @@ def load_pytree(path: str, like: Any) -> Any:
 def save_slam_state(path: str, slam) -> None:
     """Checkpoint a ``SlamSystem``: keyframe poses/features/tracks + global
     track store.  ``path`` is a directory."""
+    if hasattr(slam, "flush_ba"):
+        slam.flush_ba()  # harvest any in-flight windowed-BA update
     os.makedirs(path, exist_ok=True)
     meta = {
         "num_keyframes": len(slam.keyframes),
