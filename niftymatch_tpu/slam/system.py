@@ -116,11 +116,14 @@ class SlamSystem:
         )
         O_cap, L_cap = config.max_obs, config.ba_landmarks_cap
 
-        def _ba_gated(poses, buf):
+        def _ba_gated(pose_list, buf):
             # The host packs the whole problem into ONE float32 buffer (one
             # tunnel upload instead of six); unpack with static slicing.
-            # obs_cam/obs_lm ride as floats — exact below 2^24.
+            # obs_cam/obs_lm ride as floats — exact below 2^24.  Window
+            # poses go in (and come out) as per-keyframe arrays so no eager
+            # stack/slice ops bracket the call — everything is one dispatch.
             o2, o3, o4, o5 = 2 * O_cap, 3 * O_cap, 4 * O_cap, 5 * O_cap
+            poses = jnp.stack(pose_list)
             C = poses.shape[0]
             p = BAProblem(
                 poses=poses,
@@ -141,7 +144,7 @@ class SlamSystem:
             improved = stats.final_cost <= stats.initial_cost
             out_poses = jnp.where(improved, solved.poses, p.poses)
             lms = jnp.where(improved, solved.landmarks, p.landmarks)
-            return out_poses, lms, stats
+            return tuple(out_poses[i] for i in range(C)), lms, stats
 
         self._ba = jax.jit(_ba_gated)
         # In-flight windowed-BA landmark update, harvested (one batched
@@ -356,7 +359,7 @@ class SlamSystem:
         fixed[0] = 1.0
         if C > 1:
             fixed[1] = 1.0  # pin the 7-DoF monocular gauge
-        poses = jnp.stack([kf.pose for kf in window])
+        poses = tuple(kf.pose for kf in window)
         return (poses, jnp.asarray(buf)), active, window
 
     # ------------------------------------------------------------------
@@ -482,7 +485,7 @@ class SlamSystem:
             return False
         poses, lms, stats = self._ba(*problem)
         for ci, kf in enumerate(window):
-            kf.pose = poses[ci]  # device-side slice, no transfer
+            kf.pose = poses[ci]  # per-kf jit output, no transfer
         self._pending_ba = (lms, stats, active)
         if block:
             self.flush_ba()
