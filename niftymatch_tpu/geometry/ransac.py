@@ -54,6 +54,7 @@ MIN_SAMPLES = {
     "homography": 4,    # ransac.cu:643 (k=4)
     "fundamental": 8,
     "essential": 8,
+    "essential5": 5,    # Nister minimal solver (geometry/fivepoint.py)
 }
 
 _FITTERS = {
@@ -66,7 +67,7 @@ _FITTERS = {
 
 
 def _error_fn(model: str):
-    if model in ("fundamental", "essential"):
+    if model in ("fundamental", "essential", "essential5"):
         return sampson_sq_error
     return transfer_sq_error
 
@@ -147,21 +148,34 @@ def ransac(
     if key is None:
         key = jax.random.key(config.seed)
     k = MIN_SAMPLES[model]
-    fitter = _FITTERS[model]
     err_fn = _error_fn(model)
 
     weights = _sample_weights(key, mask, config.iterations, k)  # (I, N)
-    models = jax.vmap(fitter)(
-        jnp.broadcast_to(src, (config.iterations, *src.shape)),
-        jnp.broadcast_to(dst, (config.iterations, *dst.shape)),
-        weights,
-    )  # (I, 3, 3)
-
-    errs = jax.vmap(lambda m: err_fn(m, src, dst))(models)  # (I, N)
-    is_inlier = (errs < config.inlier_threshold) & mask[None, :]
     # Degenerate hypotheses (all-zero weights -> garbage model) are dropped
     # by requiring the hypothesis actually used k samples.
     live = jnp.sum(weights, axis=-1) >= k
+    if model == "essential5":
+        # The minimal solver emits up to 10 candidates per sample; flatten
+        # the candidate axis into the hypothesis axis and let inlier
+        # counting arbitrate.  The refit below stays 8-point least-squares.
+        from .fivepoint import fit_essential5
+
+        fitter = _FITTERS["essential"]
+        cand, cand_valid = jax.vmap(
+            fit_essential5, in_axes=(None, None, 0)
+        )(src, dst, weights)                      # (I, 10, 3, 3), (I, 10)
+        models = cand.reshape(-1, 3, 3)
+        live = jnp.repeat(live, 10) & cand_valid.reshape(-1)
+    else:
+        fitter = _FITTERS[model]
+        models = jax.vmap(fitter)(
+            jnp.broadcast_to(src, (config.iterations, *src.shape)),
+            jnp.broadcast_to(dst, (config.iterations, *dst.shape)),
+            weights,
+        )  # (I, 3, 3)
+
+    errs = jax.vmap(lambda m: err_fn(m, src, dst))(models)  # (I[*10], N)
+    is_inlier = (errs < config.inlier_threshold) & mask[None, :]
     counts = jnp.sum(is_inlier, axis=-1) * live.astype(jnp.int32)
     best = jnp.argmax(counts)
 

@@ -102,9 +102,3 @@ def downsample_by_2(image: jnp.ndarray) -> jnp.ndarray:
     """
     h, w = image.shape[-2], image.shape[-1]
     return image[..., 0 : (h // 2) * 2 : 2, 0 : (w // 2) * 2 : 2]
-
-
-@partial(jax.jit, static_argnames=("radius",))
-def _convolve_fixed_radius(image, kernel, radius):  # pragma: no cover - util
-    del radius
-    return convolve_separable(image, kernel)

@@ -90,7 +90,9 @@ def ring_allpairs_match_counts(
         me = jax.lax.axis_index(axis)
         # Mark the accumulator as device-varying so the scan carry type is
         # stable (shard_map varying-manual-axes rule).
-        out = jax.lax.pvary(jnp.zeros((k_local, k_total), jnp.int32), (axis,))
+        out = jax.lax.pcast(
+            jnp.zeros((k_local, k_total), jnp.int32), axis, to="varying"
+        )
         perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
         def step(carry, s):
