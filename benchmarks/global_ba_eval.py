@@ -29,6 +29,20 @@ def main():
     ap.add_argument("--landmarks", type=int, default=8192)
     ap.add_argument("--iterations", type=int, default=10)
     ap.add_argument("--noise", type=float, default=1.0, help="obs noise px")
+    ap.add_argument(
+        "--solver",
+        choices=["dense", "cg"],
+        default="cg",
+        help="dense = psum'd (6C)^2 Schur system (windows); cg = "
+        "matrix-free Schur PCG (global scale, memory O(obs))",
+    )
+    ap.add_argument("--cg-iterations", type=int, default=50)
+    ap.add_argument(
+        "--obs-per-cam",
+        type=int,
+        default=4096,
+        help="subsample each camera's visible landmarks to this many",
+    )
     args = ap.parse_args()
 
     import jax
@@ -47,6 +61,7 @@ def main():
     from niftymatch_tpu.data.synthetic import make_observation_table, make_scene
     from niftymatch_tpu.parallel import (
         distributed_bundle_adjust,
+        distributed_bundle_adjust_cg,
         make_keyframe_mesh,
         partition_by_landmark,
     )
@@ -59,7 +74,7 @@ def main():
         arc=(0.0, 2 * np.pi * (C - 1) / C),
     )
     obs_uv, obs_cam, obs_lm, valid = make_observation_table(
-        scene, seed=0, noise_px=args.noise
+        scene, seed=0, noise_px=args.noise, max_obs_per_cam=args.obs_per_cam
     )
     O = obs_uv.shape[0]
     rng = np.random.default_rng(7)
@@ -87,15 +102,24 @@ def main():
     n_dev = len(jax.devices())
     mesh = make_keyframe_mesh(n_dev)
     sharded = partition_by_landmark(problem, n_dev)
-    cfg = BAConfig(max_iterations=args.iterations, damping=1e-3)
+    cfg = BAConfig(
+        max_iterations=args.iterations,
+        damping=1e-3,
+        cg_iterations=args.cg_iterations,
+    )
+    solve = (
+        distributed_bundle_adjust_cg
+        if args.solver == "cg"
+        else distributed_bundle_adjust
+    )
 
     # Compile + one warm run; the timed run uses perturbed inputs (identical
     # repeated dispatches can be memoized by runtimes and time as zero).
-    solved, stats = distributed_bundle_adjust(sharded, mesh, cfg)
+    solved, stats = solve(sharded, mesh, cfg)
     jax.block_until_ready(solved.poses)
     sharded2 = sharded._replace(landmarks=sharded.landmarks + 1e-4)
     t0 = time.perf_counter()
-    solved, stats = distributed_bundle_adjust(sharded2, mesh, cfg)
+    solved, stats = solve(sharded2, mesh, cfg)
     jax.block_until_ready(solved.poses)
     wall = time.perf_counter() - t0
 
@@ -103,6 +127,7 @@ def main():
     print(
         json.dumps(
             {
+                "solver": args.solver,
                 "cams": C,
                 "landmarks": L,
                 "observations": int(O),

@@ -76,15 +76,20 @@ def make_observation_table(
     noise_px: float = 0.5,
     outlier_frac: float = 0.0,
     max_obs: int | None = None,
+    max_obs_per_cam: int | None = None,
 ):
     """Project all landmarks into all cameras; keep in-frame observations.
+
+    ``max_obs_per_cam`` subsamples each camera's visible set (deterministic
+    per seed) — the knob that shapes config-5-scale problems (millions of
+    observations) without the full C x L cross product.
 
     Returns (obs_uv (O, 2) f32, obs_cam (O,) i32, obs_lm (O,) i32,
     obs_valid (O,) bool) padded to ``max_obs`` (default: exact count)."""
     rng = np.random.default_rng(seed + 1)
     C = scene.poses.shape[0]
     fx, fy, cx, cy = scene.intrinsics
-    rows = []
+    us, vs, cs, ls = [], [], [], []
     for c in range(C):
         T = scene.poses[c]
         p = scene.landmarks @ T[:, :3].T + T[:, 3]
@@ -92,12 +97,18 @@ def make_observation_table(
         u = fx * p[:, 0] / np.maximum(z, 1e-9) + cx
         v = fy * p[:, 1] / np.maximum(z, 1e-9) + cy
         ok = (z > 0.1) & (u >= 0) & (u < scene.width) & (v >= 0) & (v < scene.height)
-        for l in np.nonzero(ok)[0]:
-            rows.append((u[l], v[l], c, l))
-    rows = np.asarray(rows, np.float64)
-    obs_uv = rows[:, :2].astype(np.float32)
-    obs_cam = rows[:, 2].astype(np.int32)
-    obs_lm = rows[:, 3].astype(np.int32)
+        idx = np.nonzero(ok)[0]
+        if max_obs_per_cam is not None and len(idx) > max_obs_per_cam:
+            idx = np.sort(rng.choice(idx, max_obs_per_cam, replace=False))
+        us.append(u[idx])
+        vs.append(v[idx])
+        cs.append(np.full(len(idx), c, np.int32))
+        ls.append(idx.astype(np.int32))
+    obs_uv = np.stack(
+        [np.concatenate(us), np.concatenate(vs)], axis=-1
+    ).astype(np.float32)
+    obs_cam = np.concatenate(cs)
+    obs_lm = np.concatenate(ls)
     O = obs_uv.shape[0]
     obs_uv = obs_uv + rng.normal(0, noise_px, size=obs_uv.shape).astype(np.float32)
     if outlier_frac > 0:

@@ -10,6 +10,7 @@ distributed bundle adjustment."""
 from .ba import (
     ShardedBAProblem,
     distributed_bundle_adjust,
+    distributed_bundle_adjust_cg,
     partition_by_landmark,
 )
 from .mesh import make_keyframe_mesh
@@ -23,6 +24,7 @@ from .matching import ring_allpairs_match_counts, shard_detect
 __all__ = [
     "ShardedBAProblem",
     "distributed_bundle_adjust",
+    "distributed_bundle_adjust_cg",
     "initialize_distributed",
     "local_batch_slice",
     "make_hierarchical_mesh",

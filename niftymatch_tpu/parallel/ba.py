@@ -288,3 +288,251 @@ def distributed_bundle_adjust(
         lambdas=lams,
         costs=costs,
     )
+
+
+@f32
+def distributed_bundle_adjust_cg(
+    sharded: ShardedBAProblem,
+    mesh: Mesh,
+    config: BAConfig = BAConfig(),
+    axis: str = "kf",
+):
+    """Matrix-free Schur-PCG LM bundle adjustment, landmark-sharded.
+
+    The scalable twin of :func:`distributed_bundle_adjust`: instead of
+    psumming the dense ``(6C)^2`` reduced camera system (which requires the
+    O(C * L_local) coupling tensor ``W`` on every shard), the Schur operator
+    is applied matrix-free in observation space on each shard and only the
+    camera-space **vector** ``(C, 6)`` is psummed — one collective of
+    ``6C`` floats per CG iteration, and memory O(O_local + C + L_local).
+    This is what makes BASELINE config-5 scale (hundreds+ cameras, 10^5+
+    landmarks) honest on a mesh.
+
+    Block reductions follow the same segment-sum formulation as
+    ``sfm/ba_cg.py``; the block-Jacobi preconditioner of S is exact
+    (one observation per (camera, landmark) pair) and psummed once per
+    linearisation.
+    """
+    C = sharded.poses.shape[0]
+    if mesh.shape[axis] == 1:
+        from ..sfm.ba_cg import bundle_adjust_cg
+
+        problem = BAProblem(
+            poses=sharded.poses,
+            landmarks=sharded.landmarks,
+            intrinsics=sharded.intrinsics,
+            obs_uv=sharded.obs_uv,
+            obs_cam=sharded.obs_cam,
+            obs_lm=sharded.obs_lm,
+            obs_valid=sharded.obs_valid,
+            pose_fixed=sharded.pose_fixed,
+        )
+        solved, stats = bundle_adjust_cg(problem, config)
+        return (
+            sharded._replace(poses=solved.poses, landmarks=solved.landmarks),
+            stats,
+        )
+
+    def local_fn(poses, landmarks, intr, uv, cam, lml, valid, fixed):
+        L_loc = landmarks.shape[0]
+
+        def as_problem(poses, landmarks):
+            return BAProblem(
+                poses=poses,
+                landmarks=landmarks,
+                intrinsics=intr,
+                obs_uv=uv,
+                obs_cam=cam,
+                obs_lm=lml,
+                obs_valid=valid,
+                pose_fixed=fixed,
+            )
+
+        def cost_of(poses, landmarks):
+            r, _, _, v = residuals_and_weights(
+                as_problem(poses, landmarks), config.huber_delta
+            )
+            n2 = jnp.sum(r * r, axis=-1)
+            n = jnp.sqrt(jnp.maximum(n2, 1e-18))
+            c = jnp.where(
+                n <= config.huber_delta,
+                0.5 * n2,
+                config.huber_delta * (n - 0.5 * config.huber_delta),
+            )
+            return jax.lax.psum(jnp.sum(c * v.astype(jnp.float32)), axis)
+
+        def solve(poses, landmarks, lam):
+            prob = as_problem(poses, landmarks)
+            r, w_, p, _ = residuals_and_weights(prob, config.huber_delta)
+            J_c, J_l = _jacobians(prob, p)
+            sw = jnp.sqrt(w_)[..., None]
+            r_w = r * sw
+            J_c = J_c * sw[..., None]
+            J_l = J_l * sw[..., None]
+
+            eye6 = jnp.eye(6, dtype=J_c.dtype)
+            eye3 = jnp.eye(3, dtype=J_l.dtype)
+            Hcc = jax.lax.psum(
+                jax.ops.segment_sum(
+                    jnp.einsum("oij,oik->ojk", J_c, J_c),
+                    cam,
+                    num_segments=C,
+                    indices_are_sorted=True,
+                ),
+                axis,
+            ) + (lam + 1e-8) * eye6
+            Hll = jax.ops.segment_sum(
+                jnp.einsum("oij,oik->ojk", J_l, J_l), lml, num_segments=L_loc
+            ) + (lam + 1e-8) * eye3
+            Hll_inv = inv3x3(Hll)
+            b_c = -jax.lax.psum(
+                jax.ops.segment_sum(
+                    jnp.einsum("oij,oi->oj", J_c, r_w),
+                    cam,
+                    num_segments=C,
+                    indices_are_sorted=True,
+                ),
+                axis,
+            )
+            b_l = -jax.ops.segment_sum(
+                jnp.einsum("oij,oi->oj", J_l, r_w), lml, num_segments=L_loc
+            )
+
+            fr = (~fixed).astype(J_c.dtype)[:, None]
+
+            def w_t_apply(v):
+                u = jnp.einsum("oij,oj->oi", J_c, v[cam])
+                return jax.ops.segment_sum(
+                    jnp.einsum("oij,oi->oj", J_l, u), lml, num_segments=L_loc
+                )
+
+            def w_apply_local(z):
+                u = jnp.einsum("oij,oj->oi", J_l, z[lml])
+                return jax.ops.segment_sum(
+                    jnp.einsum("oij,oi->oj", J_c, u),
+                    cam,
+                    num_segments=C,
+                    indices_are_sorted=True,
+                )
+
+            def S_apply(v):
+                v = v * fr
+                Hv = jnp.einsum("cij,cj->ci", Hcc, v)
+                y = jnp.einsum("lij,lj->li", Hll_inv, w_t_apply(v))
+                # THE per-iteration collective: (C, 6) floats.
+                Wz = jax.lax.psum(w_apply_local(y), axis)
+                return (Hv - Wz) * fr + v * (1.0 - fr)
+
+            rhs = (
+                b_c
+                - jax.lax.psum(
+                    w_apply_local(
+                        jnp.einsum("lij,lj->li", Hll_inv, b_l)
+                    ),
+                    axis,
+                )
+            ) * fr
+
+            A_o = jnp.einsum("oij,oik->ojk", J_c, J_l)
+            corr = jax.lax.psum(
+                jax.ops.segment_sum(
+                    jnp.einsum("oab,obc,odc->oad", A_o, Hll_inv[lml], A_o),
+                    cam,
+                    num_segments=C,
+                    indices_are_sorted=True,
+                ),
+                axis,
+            )
+            P = Hcc - corr
+            P = jnp.where(fixed[:, None, None], eye6, P)
+            P_inv = jnp.linalg.inv(P + 1e-6 * eye6)
+
+            def precond(v):
+                return jnp.einsum("cij,cj->ci", P_inv, v)
+
+            rhs_norm = jnp.sqrt(jnp.sum(rhs * rhs))
+            tol = config.cg_tol * jnp.maximum(rhs_norm, 1e-30)
+
+            def cg_body(carry, _):
+                xx, rr, pp, rz, active = carry
+                Ap = S_apply(pp)
+                denom = jnp.sum(pp * Ap)
+                alpha = rz / jnp.where(jnp.abs(denom) > 1e-30, denom, 1.0)
+                x_n = xx + alpha * pp
+                r_n = rr - alpha * Ap
+                z_n = precond(r_n)
+                rz_n = jnp.sum(r_n * z_n)
+                beta = rz_n / jnp.where(jnp.abs(rz) > 1e-30, rz, 1.0)
+                p_n = z_n + beta * pp
+                keep = active & (jnp.sqrt(jnp.sum(r_n * r_n)) > tol)
+                sel = lambda a, b: jnp.where(active, a, b)
+                return (
+                    sel(x_n, xx), sel(r_n, rr), sel(p_n, pp),
+                    sel(rz_n, rz), keep,
+                ), None
+
+            z0 = precond(rhs)
+            (dxi, _, _, _, _), _ = jax.lax.scan(
+                cg_body,
+                (
+                    jnp.zeros_like(rhs), rhs, z0,
+                    jnp.sum(rhs * z0), jnp.bool_(rhs_norm > 0),
+                ),
+                None,
+                length=config.cg_iterations,
+            )
+            dxi = dxi * fr
+            dX = jnp.einsum("lij,lj->li", Hll_inv, b_l - w_t_apply(dxi))
+            return dxi, dX
+
+        init_cost = cost_of(poses, landmarks)
+
+        def body(carry, _):
+            poses, landmarks, lam, cost = carry
+            dxi, dX = solve(poses, landmarks, lam)
+            frm = (~fixed)[:, None].astype(dxi.dtype)
+            cand_p = se3_compose(se3_exp(dxi * frm), poses)
+            cand_l = landmarks + dX
+            new_cost = cost_of(cand_p, cand_l)
+            accept = new_cost < cost
+            poses = jnp.where(accept, cand_p, poses)
+            landmarks = jnp.where(accept, cand_l, landmarks)
+            cost = jnp.where(accept, new_cost, cost)
+            lam = jnp.clip(
+                jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e6
+            )
+            return (poses, landmarks, lam, cost), (lam, cost)
+
+        (poses, landmarks, _, cost), (lams, costs) = jax.lax.scan(
+            body,
+            (poses, landmarks, jnp.float32(config.damping), init_cost),
+            None,
+            length=config.max_iterations,
+        )
+        return poses, landmarks, init_cost, cost, lams, costs
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(), P(axis), P(), P(axis), P(axis), P(axis), P(axis), P(),
+        ),
+        out_specs=(P(), P(axis), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    poses, landmarks, init_cost, final_cost, lams, costs = fn(
+        sharded.poses,
+        sharded.landmarks,
+        sharded.intrinsics,
+        sharded.obs_uv,
+        sharded.obs_cam,
+        sharded.obs_lm,
+        sharded.obs_valid,
+        sharded.pose_fixed,
+    )
+    return sharded._replace(poses=poses, landmarks=landmarks), BAStats(
+        initial_cost=init_cost,
+        final_cost=final_cost,
+        lambdas=lams,
+        costs=costs,
+    )
