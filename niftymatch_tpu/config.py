@@ -216,6 +216,12 @@ class BAConfig:
     huber_delta: float = 2.0       # pixels, robust loss scale
     cg_iterations: int = 50        # matrix-free Schur PCG
     cg_tol: float = 1e-6
+    # Observation-chunk size for the PCG solver's block reductions: the
+    # (O, 6, 6)-class per-observation temporaries pad ~30x under the TPU
+    # (8, 128) tile, so at global scale (millions of observations) they are
+    # accumulated over chunks of this many observations instead of in one
+    # shot.  Problems with O <= obs_chunk take the unchunked path.
+    obs_chunk: int = 131072
 
 
 @dataclasses.dataclass(frozen=True)

@@ -370,20 +370,16 @@ def distributed_bundle_adjust_cg(
             J_c = J_c * sw[..., None]
             J_l = J_l * sw[..., None]
 
+            from ..sfm.ba_cg import _precond_corr, _segment_outer
+
+            chunk = config.obs_chunk
             eye6 = jnp.eye(6, dtype=J_c.dtype)
-            eye3 = jnp.eye(3, dtype=J_l.dtype)
             Hcc = jax.lax.psum(
-                jax.ops.segment_sum(
-                    jnp.einsum("oij,oik->ojk", J_c, J_c),
-                    cam,
-                    num_segments=C,
-                    indices_are_sorted=True,
-                ),
-                axis,
+                _segment_outer(J_c, J_c, cam, C, chunk), axis
             ) + (lam + 1e-8) * eye6
-            Hll = jax.ops.segment_sum(
-                jnp.einsum("oij,oik->ojk", J_l, J_l), lml, num_segments=L_loc
-            ) + (lam + 1e-8) * eye3
+            Hll = _segment_outer(J_l, J_l, lml, L_loc, chunk) + (
+                lam + 1e-8
+            ) * jnp.eye(3, dtype=J_l.dtype)
             Hll_inv = inv3x3(Hll)
             b_c = -jax.lax.psum(
                 jax.ops.segment_sum(
@@ -433,15 +429,8 @@ def distributed_bundle_adjust_cg(
                 )
             ) * fr
 
-            A_o = jnp.einsum("oij,oik->ojk", J_c, J_l)
             corr = jax.lax.psum(
-                jax.ops.segment_sum(
-                    jnp.einsum("oab,obc,odc->oad", A_o, Hll_inv[lml], A_o),
-                    cam,
-                    num_segments=C,
-                    indices_are_sorted=True,
-                ),
-                axis,
+                _precond_corr(J_c, J_l, Hll_inv, cam, lml, C, chunk), axis
             )
             P = Hcc - corr
             P = jnp.where(fixed[:, None, None], eye6, P)

@@ -39,6 +39,78 @@ from .ba import BAProblem, BAStats, _jacobians, ba_cost, residuals_and_weights
 from .se3 import se3_compose, se3_exp
 
 
+def _chunk_scan(arrays, chunk, body, init):
+    """Scan ``body`` over observation chunks of the given flat arrays.
+
+    Pads the leading axis to a chunk multiple (callers must make padded
+    elements inert, e.g. segment ids == num_segments are dropped by
+    ``segment_sum``) and accumulates ``init`` through ``body``."""
+    O = arrays[0][0].shape[0]
+    n = -(-O // chunk)
+    pad = n * chunk - O
+
+    def prep(a, fill):
+        widths = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
+        a = jnp.pad(a, widths, constant_values=fill)
+        return a.reshape(n, chunk, *a.shape[1:])
+
+    xs = tuple(prep(a, f) for a, f in arrays)
+
+    def step(acc, x):
+        return body(acc, *x), None
+
+    acc, _ = jax.lax.scan(step, init, xs)
+    return acc
+
+
+def _segment_outer(J_a, J_b, seg, num_segments, chunk):
+    """``segment_sum(einsum("oij,oik->ojk", J_a, J_b), seg)`` with the
+    (O, d_a, d_b) temporary bounded to ``chunk`` observations.
+
+    Under the TPU (8, 128) tile a (O, 6, 6) float32 temporary pads ~28x
+    (4 KiB/row for 144 B of data) — at global-BA scale that alone exceeds
+    HBM.  Chunking keeps the padded transient at a few hundred MB while
+    the accumulator stays the exact (num_segments, d_a, d_b) block sum."""
+    da, db = J_a.shape[2], J_b.shape[2]
+
+    def contrib(ja, jb, s):
+        return jax.ops.segment_sum(
+            jnp.einsum("oij,oik->ojk", ja, jb), s, num_segments=num_segments
+        )
+
+    if J_a.shape[0] <= chunk:
+        return contrib(J_a, J_b, seg)
+    return _chunk_scan(
+        ((J_a, 0), (J_b, 0), (seg, num_segments)),
+        chunk,
+        lambda acc, ja, jb, s: acc + contrib(ja, jb, s),
+        jnp.zeros((num_segments, da, db), J_a.dtype),
+    )
+
+
+def _precond_corr(J_c, J_l, Hll_inv, cam, lm, num_cams, chunk):
+    """Block-diagonal of ``W H_ll^-1 W^T``: per-camera segment sum of
+    ``A_o H_ll^-1[lm_o] A_o^T`` with ``A_o = J_c^T J_l`` — observation-
+    chunked for the same tile-padding reason as :func:`_segment_outer`."""
+
+    def contrib(jc, jl, c, l):
+        A = jnp.einsum("oij,oik->ojk", jc, jl)            # (o, 6, 3)
+        return jax.ops.segment_sum(
+            jnp.einsum("oab,obc,odc->oad", A, Hll_inv[l], A),
+            c,
+            num_segments=num_cams,
+        )
+
+    if J_c.shape[0] <= chunk:
+        return contrib(J_c, J_l, cam, lm)
+    return _chunk_scan(
+        ((J_c, 0), (J_l, 0), (cam, num_cams), (lm, 0)),
+        chunk,
+        lambda acc, jc, jl, c, l: acc + contrib(jc, jl, c, l),
+        jnp.zeros((num_cams, 6, 6), J_c.dtype),
+    )
+
+
 def _linearize(problem: BAProblem, huber_delta: float):
     """Whitened Jacobians + residuals at the current state."""
     r, w, p, _ = residuals_and_weights(problem, huber_delta)
@@ -58,12 +130,13 @@ def _schur_pcg_step(problem: BAProblem, lam: jnp.ndarray, config: BAConfig):
     J_c, J_l, r_w = _linearize(problem, config.huber_delta)
 
     # Block-diagonal terms (materialised: O(C + L), small).
-    Hcc = jax.ops.segment_sum(
-        jnp.einsum("oij,oik->ojk", J_c, J_c), cam, num_segments=C
-    ) + (lam + 1e-8) * jnp.eye(6, dtype=J_c.dtype)
-    Hll = jax.ops.segment_sum(
-        jnp.einsum("oij,oik->ojk", J_l, J_l), lm, num_segments=L
-    ) + (lam + 1e-8) * jnp.eye(3, dtype=J_l.dtype)
+    chunk = config.obs_chunk
+    Hcc = _segment_outer(J_c, J_c, cam, C, chunk) + (
+        lam + 1e-8
+    ) * jnp.eye(6, dtype=J_c.dtype)
+    Hll = _segment_outer(J_l, J_l, lm, L, chunk) + (
+        lam + 1e-8
+    ) * jnp.eye(3, dtype=J_l.dtype)
     Hll_inv = inv3x3(Hll)
     b_c = -jax.ops.segment_sum(
         jnp.einsum("oij,oi->oj", J_c, r_w), cam, num_segments=C
@@ -103,12 +176,7 @@ def _schur_pcg_step(problem: BAProblem, lam: jnp.ndarray, config: BAConfig):
     rhs = (b_c - w_apply(jnp.einsum("lij,lj->li", Hll_inv, b_l))) * free
 
     # Exact block-Jacobi of S (one obs per (cam, lm) pair in BA).
-    A_o = jnp.einsum("oij,oik->ojk", J_c, J_l)                # (O, 6, 3)
-    corr = jax.ops.segment_sum(
-        jnp.einsum("oab,obc,odc->oad", A_o, Hll_inv[lm], A_o),
-        cam,
-        num_segments=C,
-    )                                                         # (C, 6, 6)
+    corr = _precond_corr(J_c, J_l, Hll_inv, cam, lm, C, chunk)  # (C, 6, 6)
     P = Hcc - corr
     eye6 = jnp.eye(6, dtype=P.dtype)
     P = jnp.where(problem.pose_fixed[:, None, None], eye6, P)

@@ -228,6 +228,75 @@ def slam_step(
     )
 
 
+def slam_chunk(
+    last_feats: Features,
+    feats_batch: Features,
+    last_pose: jnp.ndarray,
+    last_world: jnp.ndarray,
+    has_track: jnp.ndarray,
+    intrinsics: tuple[float, float, float, float],
+    ransac_config: RansacConfig,
+    min_inliers: int,
+    min_scale_obs: int = 5,
+) -> tuple[SlamStepResult, jnp.ndarray]:
+    """N sequential SLAM frames in ONE compiled program.
+
+    ``lax.scan`` over ``slam_step`` with the *keyframe state* as the device
+    carry: (features, pose, per-slot world points, per-slot track liveness).
+    An accepted frame (success and enough inliers) becomes the new carry
+    keyframe; its world context is the scatter of this frame's triangulated
+    points into its own feature slots — exactly the host bookkeeping of
+    ``SlamSystem._propagate_tracks``, minus track-ID minting (IDs stay host
+    business, applied once per chunk from the batched fetch).  A rejected
+    frame leaves the carry untouched, so the next frame matches against the
+    same keyframe — identical drop semantics to the per-frame path.
+
+    This is the tunnel-latency amortisation the per-frame loop can't reach:
+    one dispatch + one fetch per N frames instead of per frame (the
+    reference's client loop syncs per *stage*, SURVEY.md §3.1; the round-1
+    system synced per frame).
+
+    Returns (stacked per-frame ``SlamStepResult``, (N,) bool accepted)."""
+
+    def step(carry, feats_i):
+        kf_feats, pose, world, has = carry
+        out = slam_step(
+            kf_feats,
+            feats_i,
+            pose,
+            world,
+            has,
+            intrinsics,
+            ransac_config,
+            min_scale_obs,
+        )
+        accept = out.success & (out.num_inliers >= min_inliers)
+        # New keyframe's world context: scatter this frame's triangulated
+        # points into the slots its matches landed in (mode="drop" discards
+        # the sentinel target used for unmatched/invalid slots).
+        cap = world.shape[0]
+        sel = out.points_valid & out.inliers & (out.indices >= 0)
+        tgt = jnp.where(sel, out.indices, cap)
+        new_world = jnp.zeros_like(world).at[tgt].set(
+            out.points_w, mode="drop"
+        )
+        new_has = (
+            jnp.zeros_like(has)
+            .at[tgt]
+            .set(jnp.ones_like(sel), mode="drop")
+        )
+        cand = (feats_i, out.pose, new_world, new_has)
+        carry = jax.tree.map(
+            lambda n, o: jnp.where(accept, n, o), cand, carry
+        )
+        return carry, (out, accept)
+
+    _, (outs, accepts) = jax.lax.scan(
+        step, (last_feats, last_pose, last_world, has_track), feats_batch
+    )
+    return outs, accepts
+
+
 def triangulate_in_world(
     T_wa: jnp.ndarray,
     T_wb: jnp.ndarray,

@@ -32,7 +32,12 @@ from ..features import Features
 from ..sfm.ba import BAProblem, bundle_adjust
 from ..sfm.se3 import camera_center, se3_compose, se3_identity
 from ..sift import make_detector
-from .frontend import estimate_two_view, normalize_points, slam_step
+from .frontend import (
+    estimate_two_view,
+    normalize_points,
+    slam_chunk,
+    slam_step,
+)
 
 
 @dataclasses.dataclass
@@ -60,6 +65,10 @@ class SlamConfig:
     loop_min_gap: int = 3
     loop_min_matches: int = 50
     loop_weight: float = 10.0
+    # Frames per compiled chunk in process_frames: the whole chunk
+    # (detection + N sequential SLAM steps) is ONE dispatch + ONE fetch, so
+    # tunnel round-trips amortise over chunk_size frames.
+    chunk_size: int = 8
 
 
 @dataclasses.dataclass
@@ -147,6 +156,38 @@ class SlamSystem:
             return tuple(out_poses[i] for i in range(C)), lms, stats
 
         self._ba = jax.jit(_ba_gated)
+
+        def _chunk_images(frames, kf_feats, pose, world, has):
+            # frames (N, H, W) float32 — ONE upload; undistort + detect +
+            # N sequential SLAM steps fused into one compiled program.
+            if self._undist is not None:
+                from ..ops.warp import remap
+
+                u, v = self._undist
+                frames = jax.vmap(lambda f: remap(f, u, v))(frames)
+            from ..sift import detect_and_describe
+
+            feats_b = jax.vmap(
+                lambda im: detect_and_describe(im, sift_cfg)
+            )(frames)
+            outs, accepts = slam_chunk(
+                kf_feats, feats_b, pose, world, has, fx4,
+                config.ransac, config.min_inliers,
+            )
+            return feats_b, outs, accepts
+
+        self._chunk_images = jax.jit(_chunk_images)
+        self._chunk_features = jax.jit(
+            lambda feats_b, kf_feats, pose, world, has: slam_chunk(
+                kf_feats, feats_b, pose, world, has, fx4,
+                config.ransac, config.min_inliers,
+            )
+        )
+        self._take_frame = jax.jit(
+            lambda fb, poses, i: (
+                jax.tree.map(lambda a: a[i], fb), poses[i]
+            )
+        )
         # In-flight windowed-BA landmark update, harvested (one batched
         # fetch) at the start of the next frame.
         self._pending_ba = None
@@ -169,6 +210,164 @@ class SlamSystem:
             frame = remap(frame, self._undist[0], self._undist[1])
         feats = self._detect(frame)
         return self.process_features(feats)
+
+    def process_frames(self, frames, chunk: int | None = None) -> List[dict]:
+        """Ingest N grayscale frames with chunked dispatch: ONE compiled
+        program (undistort + detect + sequential SLAM scan) and ONE batched
+        fetch per ``chunk_size`` frames.  Behind a network tunnel where each
+        readback costs a full round-trip, this amortises the per-frame RTT
+        of :meth:`process_frame` over the chunk — the lever that takes the
+        full SLAM loop past the per-frame tunnel floor."""
+        chunk = chunk or self.config.chunk_size
+        frames = np.asarray(frames, np.float32)
+        results: List[dict] = []
+        start = 0
+        if not self.keyframes:
+            f0 = jnp.asarray(frames[0])
+            if self._undist is not None:
+                from ..ops.warp import remap
+
+                f0 = remap(f0, self._undist[0], self._undist[1])
+            feats0 = self._detect(f0)
+            self.keyframes.append(
+                Keyframe(
+                    index=0,
+                    feats=feats0,
+                    pose=se3_identity(),
+                    track_ids=np.full((feats0.x.shape[0],), -1, np.int64),
+                )
+            )
+            results.append({"keyframe": True, "num_inliers": 0, "tracked": 0})
+            start = 1
+        while start < len(frames):
+            batch = frames[start : start + chunk]
+            n_real = len(batch)
+            if n_real < chunk:
+                # Pad with repeats of the final frame: padded slots sit at
+                # the chunk tail, so their carry updates never feed a real
+                # frame, and their outputs are simply not read below.
+                batch = np.concatenate(
+                    [batch, np.repeat(batch[-1:], chunk - n_real, axis=0)]
+                )
+            last = self.keyframes[-1]
+            ids = last.track_ids
+            has = (ids >= 0) & self.track_alive[np.maximum(ids, 0)]
+            world = self.track_positions[np.maximum(ids, 0)]
+            feats_b, outs, accepts = self._chunk_images(
+                jnp.asarray(batch),
+                last.feats,
+                last.pose,
+                jnp.asarray(world),
+                jnp.asarray(has),
+            )
+            results.extend(
+                self._absorb_chunk(feats_b, outs, accepts, n_real)
+            )
+            start += n_real
+        return results
+
+    def process_features_batch(
+        self, feats_batch: Features, n_real: int | None = None
+    ) -> List[dict]:
+        """Chunked ingest of pre-detected features (leading batch axis on
+        every ``Features`` field) — the feature-level twin of
+        :meth:`process_frames`."""
+        n = feats_batch.x.shape[0]
+        results: List[dict] = []
+        if not self.keyframes:
+            feats0, _ = self._take_frame(
+                feats_batch, jnp.zeros((n, 3, 4), jnp.float32), 0
+            )
+            self.keyframes.append(
+                Keyframe(
+                    index=0,
+                    feats=feats0,
+                    pose=se3_identity(),
+                    track_ids=np.full((feats0.x.shape[0],), -1, np.int64),
+                )
+            )
+            results.append({"keyframe": True, "num_inliers": 0, "tracked": 0})
+            feats_batch = jax.tree.map(lambda a: a[1:], feats_batch)
+            n -= 1
+            if n == 0:
+                return results
+        last = self.keyframes[-1]
+        ids = last.track_ids
+        has = (ids >= 0) & self.track_alive[np.maximum(ids, 0)]
+        world = self.track_positions[np.maximum(ids, 0)]
+        outs, accepts = self._chunk_features(
+            feats_batch,
+            last.feats,
+            last.pose,
+            jnp.asarray(world),
+            jnp.asarray(has),
+        )
+        results.extend(
+            self._absorb_chunk(
+                feats_batch, outs, accepts, n if n_real is None else n_real
+            )
+        )
+        return results
+
+    def _absorb_chunk(self, feats_b, outs, accepts, n_real: int) -> List[dict]:
+        """Host bookkeeping for one processed chunk: ONE batched fetch,
+        then per-frame track propagation / keyframe creation (numpy only;
+        keyframe features and poses stay on device as lazy batch slices)."""
+        pending, self._pending_ba = self._pending_ba, None
+        host = jax.device_get(
+            (
+                accepts,
+                outs.num_inliers,
+                outs.indices,
+                outs.inliers,
+                outs.points_w,
+                outs.points_valid,
+                feats_b.x,
+                feats_b.y,
+            )
+            + ((pending[0],) if pending is not None else ())
+        )
+        if pending is not None:
+            active = pending[2]
+            self.track_positions[active] = host[8][: len(active)]
+        acc, ninl, m_idx, inl, pts_w, valid_w, xs, ys = host[:8]
+        results: List[dict] = []
+        for i in range(n_real):
+            if not bool(acc[i]):
+                results.append(
+                    {"keyframe": False, "num_inliers": int(ninl[i]), "tracked": 0}
+                )
+                continue
+            last = self.keyframes[-1]
+            feats_i, pose_i = self._take_frame(feats_b, outs.pose, i)
+            kf = Keyframe(
+                index=len(self.keyframes),
+                feats=feats_i,
+                pose=pose_i,
+                track_ids=np.full((xs.shape[1],), -1, np.int64),
+                host_x=xs[i],
+                host_y=ys[i],
+            )
+            tracked = self._propagate_tracks(
+                last, kf, m_idx=m_idx[i], inl=inl[i],
+                pts_w=pts_w[i], valid_w=valid_w[i],
+            )
+            self.keyframes.append(kf)
+            results.append(
+                {
+                    "keyframe": True,
+                    "num_inliers": int(ninl[i]),
+                    "tracked": tracked,
+                }
+            )
+            self._frames_since_ba += 1
+        if (
+            self._frames_since_ba >= self.config.ba_every
+            and len(self.keyframes) >= 3
+        ):
+            self.run_windowed_ba()
+            self._frames_since_ba = 0
+        return results
 
     def process_features(self, feats: Features) -> dict:
         """Ingest a pre-detected feature set (e.g. from an external detector

@@ -144,3 +144,40 @@ def test_slam_loop_closure_reduces_drift():
     assert ate_after < ate_before
     scale = np.linalg.norm(gt - gt.mean(0), axis=1).mean()
     assert ate_after < 0.01 * scale
+
+
+def test_slam_chunked_matches_per_frame():
+    """process_features_batch (one dispatch + one fetch for the whole
+    chunk) must reproduce the per-frame process_features trajectory."""
+    import jax
+
+    scene = make_scene(
+        num_cams=8, num_landmarks=400, seed=0, radius=6.0,
+        width=640, height=480,
+    )
+    feats = make_feature_sequence(scene, capacity=384, noise_px=0.5, seed=0)
+    cfg = SlamConfig(
+        width=640,
+        height=480,
+        intrinsics=tuple(float(v) for v in scene.intrinsics),
+        ransac=RansacConfig(iterations=512, inlier_threshold=4.0),
+        detector_features=384,
+        ba_every=10_000,
+    )
+    slam_seq = SlamSystem(cfg)
+    infos_seq = [slam_seq.process_features(f) for f in feats]
+
+    slam_chk = SlamSystem(cfg)
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *feats)
+    infos_chk = slam_chk.process_features_batch(batch)
+
+    assert len(infos_chk) == len(infos_seq)
+    assert [i["keyframe"] for i in infos_chk] == [
+        i["keyframe"] for i in infos_seq
+    ]
+    assert len(slam_chk.keyframes) == len(slam_seq.keyframes)
+    np.testing.assert_allclose(
+        slam_chk.trajectory(), slam_seq.trajectory(), atol=1e-3
+    )
+    for a, b in zip(slam_chk.keyframes, slam_seq.keyframes):
+        np.testing.assert_array_equal(a.track_ids, b.track_ids)
