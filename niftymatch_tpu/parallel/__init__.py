@@ -19,10 +19,18 @@ from .multihost import (
     local_batch_slice,
     make_hierarchical_mesh,
 )
-from .matching import ring_allpairs_match_counts, shard_detect
+from .matching import (
+    AllPairsMatches,
+    allpairs_match,
+    ring_allpairs_match,
+    ring_allpairs_match_counts,
+    shard_detect,
+)
 
 __all__ = [
+    "AllPairsMatches",
     "ShardedBAProblem",
+    "allpairs_match",
     "distributed_bundle_adjust",
     "distributed_bundle_adjust_cg",
     "initialize_distributed",
@@ -30,6 +38,7 @@ __all__ = [
     "make_hierarchical_mesh",
     "make_keyframe_mesh",
     "partition_by_landmark",
+    "ring_allpairs_match",
     "ring_allpairs_match_counts",
     "shard_detect",
 ]

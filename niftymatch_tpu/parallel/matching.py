@@ -19,12 +19,28 @@ of ring attention):
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.match import pairwise_sq_distances, ratio_test_matches
+from ..ops.match import (
+    mutual_matches,
+    pairwise_sq_distances,
+    ratio_test_matches,
+)
+
+
+class AllPairsMatches(NamedTuple):
+    """Result of an all-pairs keyframe match sweep.
+
+    ``counts[i, j]``: number of ratio-test (optionally mutual) matches from
+    frame i to frame j.  ``indices[i, j, n]``: the slot in frame j matched
+    by slot n of frame i (-1 sentinel) — ``None`` unless requested."""
+
+    counts: jnp.ndarray            # (K, K) int32
+    indices: jnp.ndarray | None    # (K, K, N) int32
 
 
 def shard_detect(detect_fn, images: jnp.ndarray, mesh: Mesh, axis: str = "kf"):
@@ -43,21 +59,137 @@ def shard_detect(detect_fn, images: jnp.ndarray, mesh: Mesh, axis: str = "kf"):
     return batched(images)
 
 
-def _pair_match_count(da, va, db, vb, ambiguity: float) -> jnp.ndarray:
-    """Number of ratio-test matches from frame a to frame b (scalar)."""
+def _pair_match(da, va, db, vb, ambiguity: float, mutual: bool):
+    """Ratio-test matches a->b: ((,) int32 count, (N,) int32 indices).
+
+    ``mutual=True`` cross-checks against the b->a matches derived from the
+    SAME distance matrix (transpose — no second GEMM)."""
     d = pairwise_sq_distances(da, db)
-    res = ratio_test_matches(d, ambiguity, va, vb)
-    return jnp.sum((res.indices >= 0).astype(jnp.int32))
+    fwd = ratio_test_matches(d, ambiguity, va, vb)
+    idx = fwd.indices
+    if mutual:
+        bwd = ratio_test_matches(d.T, ambiguity, vb, va)
+        idx = mutual_matches(fwd, bwd)
+    return jnp.sum((idx >= 0).astype(jnp.int32)), idx
 
 
-def _block_counts(desc_a, valid_a, desc_b, valid_b, ambiguity):
-    """(Ka, N, D) x (Kb, N, D) -> (Ka, Kb) match-count block."""
+def _block_match(desc_a, valid_a, desc_b, valid_b, ambiguity, mutual):
+    """(Ka, N, D) x (Kb, N, D) -> ((Ka, Kb) counts, (Ka, Kb, N) indices)."""
     f_b = jax.vmap(
         lambda da, va: jax.vmap(
-            lambda db, vb: _pair_match_count(da, va, db, vb, ambiguity)
+            lambda db, vb: _pair_match(da, va, db, vb, ambiguity, mutual)
         )(desc_b, valid_b)
     )
     return f_b(desc_a, valid_a)
+
+
+def allpairs_match(
+    desc: jnp.ndarray,
+    valid: jnp.ndarray,
+    ambiguity: float = 0.8,
+    mutual: bool = False,
+    return_indices: bool = False,
+) -> AllPairsMatches:
+    """Dense single-device all-pairs sweep: one jittable call."""
+    counts, idx = _block_match(desc, valid, desc, valid, ambiguity, mutual)
+    return AllPairsMatches(counts, idx if return_indices else None)
+
+
+def ring_allpairs_match(
+    desc: jnp.ndarray,
+    valid: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "kf",
+    ambiguity: float = 0.8,
+    mutual: bool = False,
+    return_indices: bool = False,
+) -> AllPairsMatches:
+    """All-pairs keyframe matching, ring-scheduled over the device mesh.
+
+    Keyframe descriptor blocks are sharded over ``axis``; at each of
+    ``n_devices`` ring steps every device matches its resident block
+    against the visiting block while ``ppermute`` rotates the visitor one
+    hop around the ICI ring.  Peak memory is the per-step block product,
+    not O(K^2), and all comm rides neighbor links.
+
+    Args:
+      desc: (K, N, D) float descriptors — ANY K (padded internally to a
+        multiple of the mesh axis size with all-invalid frames).
+      valid: (K, N) bool.
+      mesh: 1-D (or factored) mesh with ``axis``.
+      ambiguity: Lowe ratio threshold.
+      mutual: cross-check matches both directions (transpose of the same
+        distance matrix — no extra GEMM).
+      return_indices: also return the (K, K, N) per-pair match indices
+        (the "long-context" correspondence sweep, SURVEY.md §5) instead of
+        counts only.
+
+    Returns:
+      AllPairsMatches with rows sharded over ``axis``.  Diagonal is the
+      trivial self-match (callers mask it).
+    """
+    n_dev = mesh.shape[axis]
+    k_orig = desc.shape[0]
+    n_cap = desc.shape[1]
+    pad = (-k_orig) % n_dev
+    if pad:
+        desc = jnp.concatenate(
+            [desc, jnp.zeros((pad,) + desc.shape[1:], desc.dtype)]
+        )
+        valid = jnp.concatenate([valid, jnp.zeros((pad, n_cap), bool)])
+    k_total = k_orig + pad
+    k_local = k_total // n_dev
+
+    def local_fn(desc_blk, valid_blk):
+        # desc_blk: (k_local, N, D); valid_blk: (k_local, N)
+        me = jax.lax.axis_index(axis)
+        # Mark the accumulators as device-varying so the scan carry type is
+        # stable (shard_map varying-manual-axes rule).
+        var = lambda x: jax.lax.pcast(x, axis, to="varying")
+        out_c = var(jnp.zeros((k_local, k_total), jnp.int32))
+        out_i = var(
+            jnp.zeros(
+                (k_local, k_total if return_indices else 1, n_cap), jnp.int32
+            )
+        )
+        perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+        def step(carry, s):
+            vis_desc, vis_valid, out_c, out_i = carry
+            # The visiting block at step s originated on device (me - s).
+            owner = (me - s) % n_dev
+            counts, idx = _block_match(
+                desc_blk, valid_blk, vis_desc, vis_valid, ambiguity, mutual
+            )
+            out_c = jax.lax.dynamic_update_slice(
+                out_c, counts, (0, owner * k_local)
+            )
+            if return_indices:
+                out_i = jax.lax.dynamic_update_slice(
+                    out_i, idx, (0, owner * k_local, 0)
+                )
+            vis_desc = jax.lax.ppermute(vis_desc, axis, perm)
+            vis_valid = jax.lax.ppermute(vis_valid, axis, perm)
+            return (vis_desc, vis_valid, out_c, out_i), None
+
+        (_, _, out_c, out_i), _ = jax.lax.scan(
+            step,
+            (desc_blk, valid_blk, out_c, out_i),
+            jnp.arange(n_dev),
+        )
+        return out_c, out_i
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
+    )
+    counts, idx = fn(desc, valid.astype(jnp.bool_))
+    counts = counts[:k_orig, :k_orig]
+    return AllPairsMatches(
+        counts, idx[:k_orig, :k_orig] if return_indices else None
+    )
 
 
 def ring_allpairs_match_counts(
@@ -67,57 +199,7 @@ def ring_allpairs_match_counts(
     axis: str = "kf",
     ambiguity: float = 0.8,
 ) -> jnp.ndarray:
-    """All-pairs keyframe match-count matrix, ring-scheduled over the mesh.
-
-    Args:
-      desc: (K, N, D) float descriptors, K divisible by mesh axis size.
-      valid: (K, N) bool.
-      mesh: 1-D (or factored) mesh with ``axis``.
-      ambiguity: Lowe ratio threshold.
-
-    Returns:
-      (K, K) int32; entry (i, j) = #descriptors of frame i whose 2-NN ratio
-      test against frame j passes.  Diagonal is the trivial self-match count
-      (callers mask it).  Layout: rows sharded over ``axis``.
-    """
-    n_dev = mesh.shape[axis]
-    k_total = desc.shape[0]
-    assert k_total % n_dev == 0, "K must divide the mesh axis"
-    k_local = k_total // n_dev
-
-    def local_fn(desc_blk, valid_blk):
-        # desc_blk: (k_local, N, D); valid_blk: (k_local, N)
-        me = jax.lax.axis_index(axis)
-        # Mark the accumulator as device-varying so the scan carry type is
-        # stable (shard_map varying-manual-axes rule).
-        out = jax.lax.pcast(
-            jnp.zeros((k_local, k_total), jnp.int32), axis, to="varying"
-        )
-        perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-
-        def step(carry, s):
-            vis_desc, vis_valid, out = carry
-            # The visiting block at step s originated on device (me - s).
-            owner = (me - s) % n_dev
-            counts = _block_counts(
-                desc_blk, valid_blk, vis_desc, vis_valid, ambiguity
-            )
-            out = jax.lax.dynamic_update_slice(out, counts, (0, owner * k_local))
-            vis_desc = jax.lax.ppermute(vis_desc, axis, perm)
-            vis_valid = jax.lax.ppermute(vis_valid, axis, perm)
-            return (vis_desc, vis_valid, out), None
-
-        (_, _, out), _ = jax.lax.scan(
-            step,
-            (desc_blk, valid_blk, out),
-            jnp.arange(n_dev),
-        )
-        return out
-
-    fn = jax.shard_map(
-        local_fn,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis)),
-        out_specs=P(axis),
-    )
-    return fn(desc, valid.astype(jnp.bool_))
+    """Counts-only compatibility wrapper over :func:`ring_allpairs_match`."""
+    return ring_allpairs_match(
+        desc, valid, mesh, axis=axis, ambiguity=ambiguity
+    ).counts

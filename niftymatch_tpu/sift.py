@@ -32,8 +32,12 @@ from .ops.orientation import compute_orientations
 from .ops.pyramid import build_pyramid
 
 
-def _octave_features(octave_idx, octave_data, config: SiftConfig) -> Features:
-    kpts = detect_keypoints(octave_data.dog, octave_idx, config)
+def _octave_features(
+    octave_idx, octave_data, config: SiftConfig, mask_image=None
+) -> Features:
+    kpts = detect_keypoints(
+        octave_data.dog, octave_idx, config, mask_image=mask_image
+    )
     angles, avalid = compute_orientations(kpts, octave_data.grad, octave_idx, config)
     L, K = kpts.x.shape
     flat = lambda a: a.reshape(L * K, *a.shape[2:])
@@ -72,14 +76,26 @@ def _octave_features(octave_idx, octave_data, config: SiftConfig) -> Features:
     return out
 
 
-def detect_and_describe(image: jnp.ndarray, config: SiftConfig) -> Features:
+def detect_and_describe(
+    image: jnp.ndarray,
+    config: SiftConfig,
+    mask: jnp.ndarray | None = None,
+) -> Features:
     """Full SIFT detection on a float32 grayscale (H, W) image.
+
+    ``mask`` (optional, (H, W) float/bool) restricts detection to pixels
+    where the mask sampled at the keypoint's input-image position is >= 1 —
+    driver-level parity with ``compute_keypoints_with_mask``
+    (``siftfunctions.h:19-101``, ``siftfunctions.cu:65-98``).
 
     Jit this (config is static via closure / partial) once per image size.
     """
     octaves = build_pyramid(image, config)
+    if mask is not None:
+        mask = mask.astype(jnp.float32)
     parts = [
-        _octave_features(o, data, config) for o, data in enumerate(octaves)
+        _octave_features(o, data, config, mask_image=mask)
+        for o, data in enumerate(octaves)
     ]
     return topk_features(concat_features(parts), config.max_features)
 
@@ -119,8 +135,18 @@ def match_pair(
     )
 
 
-def make_detector(config: SiftConfig):
-    """Returns a jitted ``image -> Features`` closure for a fixed image size."""
+def make_detector(config: SiftConfig, masked: bool = False):
+    """Returns a jitted detector closure for a fixed image size:
+    ``image -> Features``, or ``(image, mask) -> Features`` with
+    ``masked=True`` (the ``compute_keypoints_with_mask`` driver)."""
+
+    if masked:
+
+        @jax.jit
+        def detect_masked(image, mask):
+            return detect_and_describe(image, config, mask=mask)
+
+        return detect_masked
 
     @jax.jit
     def detect(image):

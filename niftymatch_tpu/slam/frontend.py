@@ -75,6 +75,23 @@ def estimate_two_view(
 
         bwd = match_pair(feats_b, feats_a, ambiguity=ambiguity)
         m = m._replace(indices=mutual_matches(m, bwd))
+    return two_view_from_matches(
+        feats_a, feats_b, m, intrinsics, ransac_config, key=key
+    )
+
+
+def two_view_from_matches(
+    feats_a: Features,
+    feats_b: Features,
+    m: MatchResult,
+    intrinsics: tuple[float, float, float, float],
+    ransac_config: RansacConfig = RansacConfig(inlier_threshold=4.0),
+    key: jax.Array | None = None,
+) -> TwoViewResult:
+    """Two-view pose estimate from PRECOMPUTED match indices — the geometry
+    half of :func:`estimate_two_view`.  Lets callers that already hold
+    correspondences (the ring all-pairs sweep's per-pair indices,
+    ``parallel.matching.ring_allpairs_match``) skip the matching GEMM."""
     src, dst, mask = align_points(
         feats_a.x, feats_a.y, feats_b.x, feats_b.y, m.indices, feats_a.valid
     )

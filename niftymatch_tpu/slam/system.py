@@ -21,6 +21,7 @@ candidate pairs; verified closures become pose-graph edges; a final
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import List
 
 import numpy as np
@@ -32,11 +33,13 @@ from ..features import Features
 from ..sfm.ba import BAProblem, bundle_adjust
 from ..sfm.se3 import camera_center, se3_compose, se3_identity
 from ..sift import make_detector
+from ..ops.match import MatchResult
 from .frontend import (
     estimate_two_view,
     normalize_points,
     slam_chunk,
     slam_step,
+    two_view_from_matches,
 )
 
 
@@ -65,6 +68,12 @@ class SlamConfig:
     loop_min_gap: int = 3
     loop_min_matches: int = 50
     loop_weight: float = 10.0
+    # Relocalization: after reloc_after consecutive rejected frames, query
+    # the frame against the last reloc_window keyframes in ONE batched
+    # dispatch (vmapped slam_step) and re-anchor at the best hit instead of
+    # waiting forever on the stale last keyframe.
+    reloc_after: int = 2
+    reloc_window: int = 6
     # Frames per compiled chunk in process_frames: the whole chunk
     # (detection + N sequential SLAM steps) is ONE dispatch + ONE fetch, so
     # tunnel round-trips amortise over chunk_size frames.
@@ -118,11 +127,37 @@ class SlamSystem:
                 fa, fb, fx4, ransac_config=config.ransac
             )
         )
+        self._two_view_from = jax.jit(
+            lambda fa, fb, idx: two_view_from_matches(
+                fa,
+                fb,
+                MatchResult(
+                    indices=idx,
+                    distances=jnp.zeros_like(idx, jnp.float32),
+                    ratios=jnp.ones_like(idx, jnp.float32),
+                ),
+                fx4,
+                ransac_config=config.ransac,
+            )
+        )
         self._step = jax.jit(
             lambda fa, fb, T, world, has: slam_step(
                 fa, fb, T, world, has, fx4, config.ransac
             )
         )
+
+        def _reloc(kf_feats_b, feats, poses_b, world_b, has_b):
+            # One batched dispatch: the lost frame vs W recent keyframes.
+            outs = jax.vmap(
+                lambda kf, T, w, h: slam_step(
+                    kf, feats, T, w, h, fx4, config.ransac
+                )
+            )(kf_feats_b, poses_b, world_b, has_b)
+            score = jnp.where(outs.success, outs.num_inliers, -1)
+            best = jnp.argmax(score)
+            return best, jax.tree.map(lambda a: a[best], outs)
+
+        self._reloc = jax.jit(_reloc)
         O_cap, L_cap = config.max_obs, config.ba_landmarks_cap
 
         def _ba_gated(pose_list, buf):
@@ -197,6 +232,7 @@ class SlamSystem:
         self.track_positions = np.zeros((config.max_tracks, 3), np.float32)
         self.track_alive = np.zeros((config.max_tracks,), bool)
         self._frames_since_ba = 0
+        self._misses = 0  # consecutive rejected frames (reloc trigger)
 
     # ------------------------------------------------------------------
     # Public API
@@ -334,10 +370,28 @@ class SlamSystem:
         results: List[dict] = []
         for i in range(n_real):
             if not bool(acc[i]):
+                self._misses += 1
+                if self._misses >= self.config.reloc_after:
+                    feats_i = jax.tree.map(lambda a: a[i], feats_b)
+                    info = self._maybe_relocalize(feats_i)
+                    if info is not None:
+                        results.append(info)
+                        # Re-anchoring invalidates the rest of this chunk's
+                        # device results (they tracked the pre-reloc
+                        # keyframe carry): reprocess those frames through
+                        # the per-frame path against the new keyframe.
+                        for k in range(i + 1, n_real):
+                            results.append(
+                                self.process_features(
+                                    jax.tree.map(lambda a, k=k: a[k], feats_b)
+                                )
+                            )
+                        return results
                 results.append(
                     {"keyframe": False, "num_inliers": int(ninl[i]), "tracked": 0}
                 )
                 continue
+            self._misses = 0
             last = self.keyframes[-1]
             feats_i, pose_i = self._take_frame(feats_b, outs.pose, i)
             kf = Keyframe(
@@ -415,7 +469,13 @@ class SlamSystem:
             self.track_positions[active] = host[8][: len(active)]
         success, num_inl = bool(host[0]), int(host[1])
         if not success or num_inl < self.config.min_inliers:
+            self._misses += 1
+            if self._misses >= self.config.reloc_after:
+                info = self._maybe_relocalize(feats)
+                if info is not None:
+                    return info
             return {"keyframe": False, "num_inliers": num_inl, "tracked": 0}
+        self._misses = 0
 
         kf = Keyframe(
             index=len(self.keyframes),
@@ -474,6 +534,63 @@ class SlamSystem:
         if ok.sum() < 5:
             return jnp.float32(1.0)
         return jnp.float32(np.median(d_world[ok] / d_unit[ok]))
+
+    def _maybe_relocalize(self, feats: Features) -> dict | None:
+        """Recovery query after ``reloc_after`` consecutive rejections:
+        match the lost frame against the last ``reloc_window`` keyframes in
+        ONE batched dispatch (vmapped ``slam_step``), re-anchor at the best
+        successful hit, and resume tracking from there.  Returns the frame
+        info dict on success, None when recovery also fails."""
+        W = min(len(self.keyframes), self.config.reloc_window)
+        if W < 1:
+            return None
+        kfs = self.keyframes[-W:]
+        feats_b = jax.tree.map(lambda *a: jnp.stack(a), *[k.feats for k in kfs])
+        poses_b = jnp.stack([k.pose for k in kfs])
+        ids = np.stack([k.track_ids for k in kfs])
+        has = (ids >= 0) & self.track_alive[np.maximum(ids, 0)]
+        world = self.track_positions[np.maximum(ids, 0)]
+        best, out = self._reloc(
+            feats_b, feats, poses_b, jnp.asarray(world), jnp.asarray(has)
+        )
+        host = jax.device_get(
+            (
+                best,
+                out.success,
+                out.num_inliers,
+                out.indices,
+                out.inliers,
+                out.points_w,
+                out.points_valid,
+                feats.x,
+                feats.y,
+            )
+        )
+        b, ok, n_inl = int(host[0]), bool(host[1]), int(host[2])
+        if not ok or n_inl < self.config.min_inliers:
+            return None
+        anchor = kfs[b]
+        kf = Keyframe(
+            index=len(self.keyframes),
+            feats=feats,
+            pose=out.pose,
+            track_ids=np.full((host[7].shape[0],), -1, np.int64),
+            host_x=host[7],
+            host_y=host[8],
+        )
+        tracked = self._propagate_tracks(
+            anchor, kf, m_idx=host[3], inl=host[4], pts_w=host[5], valid_w=host[6]
+        )
+        self.keyframes.append(kf)
+        self._misses = 0
+        self._frames_since_ba += 1
+        return {
+            "keyframe": True,
+            "num_inliers": n_inl,
+            "tracked": tracked,
+            "reloc": True,
+            "anchor": anchor.index,
+        }
 
     def _propagate_tracks(
         self, last: Keyframe, kf: Keyframe, *, m_idx, inl, pts_w, valid_w
@@ -564,46 +681,61 @@ class SlamSystem:
     # ------------------------------------------------------------------
     # Loop closure
     # ------------------------------------------------------------------
-    def detect_loop_candidates(self):
-        """All-pairs keyframe match-count sweep (ring-scheduled when a
-        multi-device mesh is available, SURVEY.md §5) -> candidate
-        (i, j) pairs with i - j >= loop_min_gap and enough matches."""
-        K = len(self.keyframes)
-        if K < self.config.loop_min_gap + 2:
-            return []
+    def _allpairs_sweep(self, return_indices: bool = True):
+        """All-pairs keyframe match sweep — ring-scheduled over the device
+        mesh when one is available (SURVEY.md §5), dense single-jit
+        otherwise.  ANY keyframe count (the ring path pads internally).
+        Matching mirrors the verification front-end (mutual, ambiguity
+        0.7), so the returned indices feed ``two_view_from_matches``
+        directly."""
+        from ..parallel.matching import allpairs_match, ring_allpairs_match
+
         desc = jnp.stack([kf.feats.desc for kf in self.keyframes])
         valid = jnp.stack([kf.feats.valid for kf in self.keyframes])
-        n_dev = len(jax.devices())
-        if n_dev > 1 and K % n_dev == 0:
-            from ..parallel import make_keyframe_mesh, ring_allpairs_match_counts
+        if len(jax.devices()) > 1:
+            from ..parallel import make_keyframe_mesh
 
-            counts = np.asarray(
-                ring_allpairs_match_counts(desc, valid, make_keyframe_mesh())
+            return ring_allpairs_match(
+                desc,
+                valid,
+                make_keyframe_mesh(),
+                ambiguity=0.7,
+                mutual=True,
+                return_indices=return_indices,
             )
-        else:
-            from ..ops.match import match_descriptors
+        return jax.jit(
+            partial(
+                allpairs_match,
+                ambiguity=0.7,
+                mutual=True,
+                return_indices=return_indices,
+            )
+        )(desc, valid)
 
-            f = jax.jit(
-                jax.vmap(
-                    lambda da, va: jax.vmap(
-                        lambda db, vb: jnp.sum(
-                            (
-                                match_descriptors(
-                                    da, db, a_valid=va, b_valid=vb
-                                ).indices
-                                >= 0
-                            ).astype(jnp.int32)
-                        )
-                    )(desc, valid)
-                )
-            )
-            counts = np.asarray(f(desc, valid))
+    def detect_loop_candidates(self, return_matches: bool = False):
+        """All-pairs keyframe sweep -> candidate (i, j) pairs (i < j,
+        j - i >= loop_min_gap) with enough mutual matches.  With
+        ``return_matches``, also gathers the per-candidate match indices
+        from the sweep (one extra device gather + fetch) so verification
+        never re-matches."""
+        K = len(self.keyframes)
+        if K < self.config.loop_min_gap + 2:
+            return ([], None) if return_matches else []
+        res = self._allpairs_sweep(return_indices=return_matches)
+        counts = np.asarray(res.counts)
         cands = []
         for i in range(K):
             for j in range(i + self.config.loop_min_gap, K):
                 if counts[i, j] >= self.config.loop_min_matches:
                     cands.append((i, j, int(counts[i, j])))
-        return cands
+        if not return_matches:
+            return cands
+        if not cands:
+            return [], None
+        ci = jnp.asarray([c[0] for c in cands])
+        cj = jnp.asarray([c[1] for c in cands])
+        cand_idx = np.asarray(res.indices[ci, cj])  # (n_cand, N)
+        return cands, cand_idx
 
     def close_loops(self) -> int:
         """Verify loop candidates geometrically, build a pose graph with
@@ -613,7 +745,7 @@ class SlamSystem:
         from ..sfm.se3 import se3_compose, se3_inverse
 
         self.flush_ba()
-        cands = self.detect_loop_candidates()
+        cands, cand_idx = self.detect_loop_candidates(return_matches=True)
         K = len(self.keyframes)
         edges_i, edges_j, edges_T, weights = [], [], [], []
         # Odometry edges from current (BA-refined) consecutive poses —
@@ -630,9 +762,13 @@ class SlamSystem:
             edges_T.append(Z_all[k])
             weights.append(1.0)
         accepted = 0
-        for (j, i, _cnt) in cands:  # j < i: edge from i to j
+        for c, (j, i, _cnt) in enumerate(cands):  # j < i: edge from i to j
             kf_j, kf_i = self.keyframes[j], self.keyframes[i]
-            tv = self._two_view(kf_j.feats, kf_i.feats)
+            # Verify on the sweep's own correspondences (j -> i): RANSAC +
+            # pose only, no per-pair re-matching dispatch.
+            tv = self._two_view_from(
+                kf_j.feats, kf_i.feats, jnp.asarray(cand_idx[c])
+            )
             ok, n_inl, pts, pv, pose_j = jax.device_get(
                 (tv.success, tv.num_inliers, tv.points, tv.point_valid, kf_j.pose)
             )

@@ -111,3 +111,55 @@ def test_multihost_helpers_single_process():
     assert mesh2.shape["host"] == 1
     sl = local_batch_slice(16)
     assert sl == slice(0, 16)
+
+
+def test_ring_allpairs_indices_nondivisible_oracle(rng):
+    """Ring sweep v2: arbitrary K (padded internally) + per-pair match
+    indices, mutual cross-check — against the dense single-device sweep
+    and a per-pair oracle."""
+    from niftymatch_tpu.ops.match import mutual_matches
+    from niftymatch_tpu.parallel.matching import (
+        allpairs_match,
+        ring_allpairs_match,
+    )
+
+    k, n = 13, 24  # 13 % 8 != 0: exercises the padding path
+    desc, valid = _fake_descriptors(rng, 14, n)
+    desc, valid = desc[:k], valid[:k]
+    mesh = make_keyframe_mesh(8)
+    res = ring_allpairs_match(
+        jnp.asarray(desc),
+        jnp.asarray(valid),
+        mesh,
+        ambiguity=0.7,
+        mutual=True,
+        return_indices=True,
+    )
+    assert res.counts.shape == (k, k)
+    assert res.indices.shape == (k, k, n)
+
+    dense = allpairs_match(
+        jnp.asarray(desc),
+        jnp.asarray(valid),
+        ambiguity=0.7,
+        mutual=True,
+        return_indices=True,
+    )
+    np.testing.assert_array_equal(np.asarray(res.counts), np.asarray(dense.counts))
+    np.testing.assert_array_equal(
+        np.asarray(res.indices), np.asarray(dense.indices)
+    )
+
+    # Spot-check two pairs against the direct matcher + mutual filter.
+    for (i, j) in [(0, 1), (5, 12)]:
+        fwd = match_descriptors(
+            jnp.asarray(desc[i]), jnp.asarray(desc[j]), ambiguity=0.7,
+            a_valid=jnp.asarray(valid[i]), b_valid=jnp.asarray(valid[j]),
+        )
+        bwd = match_descriptors(
+            jnp.asarray(desc[j]), jnp.asarray(desc[i]), ambiguity=0.7,
+            a_valid=jnp.asarray(valid[j]), b_valid=jnp.asarray(valid[i]),
+        )
+        oracle = np.asarray(mutual_matches(fwd, bwd))
+        np.testing.assert_array_equal(np.asarray(res.indices[i, j]), oracle)
+        assert int(res.counts[i, j]) == int(np.sum(oracle >= 0))

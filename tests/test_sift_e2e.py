@@ -126,3 +126,36 @@ def test_batch_detector_matches_single(test_image):
     import numpy as np
     np.testing.assert_allclose(np.asarray(out.x[1]), np.asarray(ref.x), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(out.valid[1]), np.asarray(ref.valid))
+
+
+def test_masked_detection_through_driver():
+    """Driver-level compute_keypoints_with_mask parity: a masked detector
+    only keeps features whose input-image position has mask >= 1, and
+    matches the unmasked detector inside the masked region."""
+    h, w = 96, 128
+    img = _structured_image(h, w, seed=5)
+    c = SiftConfig(width=w, height=h, max_keypoints_per_level=64, max_features=256)
+    mask = np.zeros((h, w), np.float32)
+    mask[:, : w // 2] = 1.0  # left half only
+
+    det = make_detector(c)
+    det_m = make_detector(c, masked=True)
+    f_all = det(jnp.asarray(img))
+    f_mask = det_m(jnp.asarray(img), jnp.asarray(mask))
+
+    vm = np.asarray(f_mask.valid)
+    assert vm.sum() > 0
+    xs = np.asarray(f_mask.x)[vm]
+    ys = np.asarray(f_mask.y)[vm]
+    # Every masked feature sits where the mask is >= 1 (sampled at the
+    # keypoint's integer input-image position, reference semantics).
+    assert np.all(mask[np.round(ys).astype(int).clip(0, h - 1),
+                       np.round(xs).astype(int).clip(0, w - 1)] >= 1.0)
+    # The masked set equals the unmasked set restricted to the mask
+    # interior (away from the boundary, where sub-pixel sampling differs).
+    va = np.asarray(f_all.valid)
+    xa, ya = np.asarray(f_all.x)[va], np.asarray(f_all.y)[va]
+    interior = xa < w // 2 - 4
+    pts_all = set(zip(np.round(xa[interior], 2), np.round(ya[interior], 2)))
+    pts_mask = set(zip(np.round(xs, 2), np.round(ys, 2)))
+    assert pts_all <= pts_mask
