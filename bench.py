@@ -50,7 +50,9 @@ def bench_slam_loop(n_frames=56, chunk=8):
         width=w,
         height=h,
     )
-    frames = render_frames(scene, seed=0)
+    # uint8 frames, as a real camera delivers them: process_frames keeps
+    # uint8 on the wire (4x less upload bandwidth) and casts on device.
+    frames = np.clip(render_frames(scene, seed=0), 0, 255).astype(np.uint8)
     cfg = SlamConfig(
         width=w,
         height=h,

@@ -264,7 +264,7 @@ class SlamSystem:
         results: List[dict] = []
         start = 0
         if not self.keyframes:
-            f0 = jnp.asarray(frames[0])
+            f0 = jnp.asarray(frames[0], jnp.float32)
             if self._undist is not None:
                 from ..ops.warp import remap
 

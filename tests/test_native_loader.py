@@ -1,46 +1,13 @@
 """Native C++ PNG decoder / prefetch loader tests.
 
-Test PNGs are written by a minimal pure-Python encoder (zlib + struct) so no
-imaging library is required."""
-
-import struct
-import zlib
+Test PNGs are written by the package's minimal pure-Python encoder
+(``niftymatch_tpu.data.png``) so no imaging library is required."""
 
 import numpy as np
 import pytest
 
 from niftymatch_tpu.data import native_loader
-
-
-def _chunk(tag: bytes, data: bytes) -> bytes:
-    return (
-        struct.pack(">I", len(data))
-        + tag
-        + data
-        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
-    )
-
-
-def write_png(path, array, bitdepth=8):
-    """Encode (H, W) gray or (H, W, 3) RGB uint8/uint16, filter 0 rows."""
-    arr = np.asarray(array)
-    h, w = arr.shape[:2]
-    color_type = 0 if arr.ndim == 2 else 2
-    if bitdepth == 8:
-        data = arr.astype(np.uint8)
-        raw = b"".join(b"\x00" + data[y].tobytes() for y in range(h))
-    else:
-        data = arr.astype(">u2")
-        raw = b"".join(b"\x00" + data[y].tobytes() for y in range(h))
-    ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, color_type, 0, 0, 0)
-    png = (
-        b"\x89PNG\r\n\x1a\n"
-        + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(raw))
-        + _chunk(b"IEND", b"")
-    )
-    with open(path, "wb") as f:
-        f.write(png)
+from niftymatch_tpu.data.png import write_png
 
 
 needs_native = pytest.mark.skipif(
