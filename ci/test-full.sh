@@ -4,4 +4,4 @@
 # dominate).  Run nightly / pre-release; ci/test.sh is the per-commit gate.
 set -euo pipefail
 cd "$(dirname "$0")/.."
-exec python -m pytest tests/ -q -m "slow or not slow" "$@"
+exec python -m pytest tests/ -q -m "slow or not slow" -n "${PYTEST_WORKERS:-4}" "$@"

@@ -1,6 +1,7 @@
 """Descriptor extraction vs. the naive oracle, plus matcher tests."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from niftymatch_tpu.config import CompatFlags, SiftConfig
@@ -29,6 +30,7 @@ def test_static_radius_bounds_runtime_radius():
         assert descriptor_radius_for_sigma(s_max) == r_static
 
 
+@pytest.mark.slow
 def test_descriptors_match_oracle(test_image):
     for flipped in (False, True):
         compat = CompatFlags(

@@ -53,6 +53,7 @@ def K_hat(v):
     )
 
 
+@pytest.mark.slow
 def test_five_point_recovers_exact_essential():
     hits = 0
     for seed in range(20):
@@ -90,6 +91,7 @@ def test_five_point_candidates_satisfy_epipolar():
     assert best < 1e-3
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("outlier_frac", [0.4])
 def test_ransac_essential5_fewer_iterations(outlier_frac):
     """Same-seed RANSAC: 5-point at I/4 iterations reaches (>=) the 8-point

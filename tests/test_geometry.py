@@ -246,6 +246,7 @@ def test_ransac_recovers_transform_with_outliers(rng, model):
     assert np.median(err) < 1.0
 
 
+@pytest.mark.slow
 def test_ransac_too_few_points_fails_gracefully(rng):
     src = jnp.zeros((16, 2), jnp.float32)
     dst = jnp.zeros((16, 2), jnp.float32)
@@ -254,6 +255,7 @@ def test_ransac_too_few_points_fails_gracefully(rng):
     assert not bool(res.success)
 
 
+@pytest.mark.slow
 def test_ransac_deterministic(rng):
     H_true = _random_homography(rng)
     src = rng.uniform(0, 300, size=(64, 2)).astype(np.float32)

@@ -5,6 +5,8 @@ mosaicking loop, SURVEY.md §3.4)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy e2e: run via ci/test-full.sh
+
 from niftymatch_tpu.mosaic import MosaicBuilder, MosaicConfig
 from niftymatch_tpu.config import RansacConfig
 

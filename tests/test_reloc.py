@@ -6,6 +6,9 @@ batched query against the last ``reloc_window`` keyframes
 (``SlamSystem._maybe_relocalize``)."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy e2e: run via ci/test-full.sh
 import jax.numpy as jnp
 
 from niftymatch_tpu.config import RansacConfig

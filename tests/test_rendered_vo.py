@@ -10,6 +10,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy e2e: run via ci/test-full.sh
+
 from niftymatch_tpu import SiftConfig, make_detector
 from niftymatch_tpu.config import RansacConfig
 from niftymatch_tpu.data import make_scene, render_frames
