@@ -115,7 +115,40 @@ def two_view_from_matches(
     key_h = None if key is None else jax.random.fold_in(key, 1)
     res_h = ransac(srcn, dstn, mask, cfg, model="homography", key=key_h)
 
-    use_h = res_h.num_inliers >= (0.9 * res_e.num_inliers).astype(jnp.int32)
+    # Model selection by truncated symmetric-transfer-error score (the
+    # ORB-SLAM heuristic), not inlier count: each masked correspondence
+    # contributes max(0, T - err) per direction, and H wins when it holds
+    # > 45% of the combined score.  Count-based selection is noisy near
+    # degeneracy — a sloppy H can tie E on count while losing badly on
+    # residual mass.
+    from ..geometry.transforms import transfer_sq_error
+
+    T_thr = cfg.inlier_threshold
+    H = res_h.transform
+    # Adjugate-based inverse with a clamped determinant: H comes from a
+    # masked RANSAC and can be arbitrary when res_h.success is False.
+    det = jnp.linalg.det(H)
+    H_inv = (
+        jnp.linalg.inv(
+            H + jnp.where(jnp.abs(det) < 1e-12, 1e-6, 0.0) * jnp.eye(3)
+        )
+    )
+    err_h = transfer_sq_error(H, srcn, dstn) + transfer_sq_error(
+        H_inv, dstn, srcn
+    )
+    # Sampson error is the symmetric first-order epipolar residual; double
+    # its truncated score so one correspondence weighs the same 2T ceiling
+    # in both branches.
+    err_e_sel = sampson_sq_error(res_e.transform, srcn, dstn)
+    s_h = jnp.sum(
+        jnp.where(mask, jnp.maximum(2.0 * T_thr - err_h, 0.0), 0.0)
+    )
+    s_e = jnp.sum(
+        jnp.where(mask, 2.0 * jnp.maximum(T_thr - err_e_sel, 0.0), 0.0)
+    )
+    use_h = res_h.success & (
+        (~res_e.success) | (s_h > 0.45 * (s_h + s_e))
+    )
 
     # Pose from the essential branch, with GN Sampson polish on inliers.
     rec_e = recover_pose(res_e.transform, srcn, dstn, res_e.inliers)
