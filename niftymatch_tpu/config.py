@@ -101,17 +101,6 @@ class SiftConfig:
     # capacity and raises match density on rotation-rich scenes.
     use_second_orientation: bool = False
 
-    # Route pyramid blurs through the Pallas kernel (pallas/blur.py) on TPU
-    # backends (non-TPU backends always take the XLA conv path).  ON by
-    # default: the XLA fp32 conv pyramid costs ~110 ms of the 145 ms
-    # 640x480 detector; the Pallas pyramid removes essentially all of it
-    # (measured full-detector latency 145 ms -> 44 ms on v5e).  (A round-1
-    # note claimed the composed kernel regressed end-to-end latency; that
-    # measurement relied on block_until_ready, which does not reliably
-    # block through the tunneled runtime — fetch-forced timing shows the
-    # 3.3x win.)
-    use_pallas_blur: bool = True
-
     compat: CompatFlags = dataclasses.field(default_factory=CompatFlags)
 
     # ------------------------------------------------------------------

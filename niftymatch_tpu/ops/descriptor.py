@@ -45,7 +45,7 @@ from ..config import (
 )
 from .gradients import TWO_PI, mod_2pi
 from .keypoints import Keypoints
-from .patches import gather_patches, patch_offsets
+from .patches import gather_patches, gather_patches_from_stack, patch_offsets
 
 NBO = NUM_DESC_ORI_BINS
 NBP = NUM_DESC_SPATIAL_BINS
@@ -89,10 +89,13 @@ def _theta_tents(nt: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(0.0, 1.0 - jnp.abs(d))
 
 
-def _descriptors_one_level(
-    grad_level: jnp.ndarray,   # (H, W, 2)
+def _descriptor_core(
+    mag: jnp.ndarray,          # (K, P, P) gradient magnitudes
+    ang: jnp.ndarray,          # (K, P, P) gradient angles
     x: jnp.ndarray,            # (K,) octave coords
     y: jnp.ndarray,
+    xi: jnp.ndarray,           # (K,) int32 patch-centre integer coords
+    yi: jnp.ndarray,
     s: jnp.ndarray,
     angle0: jnp.ndarray,       # (K,) first orientation angle
     valid: jnp.ndarray,        # (K,) keypoint-and-angle validity
@@ -100,12 +103,8 @@ def _descriptors_one_level(
     config: SiftConfig,
 ) -> jnp.ndarray:
     k = x.shape[0]
-    xi = jnp.floor(x + 0.5).astype(jnp.int32)
-    yi = jnp.floor(y + 0.5).astype(jnp.int32)
-
-    patches = gather_patches(grad_level, yi, xi, radius)       # (K, P, P, 2)
-    mag = patches[..., 0].reshape(k, -1)                       # (K, P2)
-    ang = patches[..., 1].reshape(k, -1)
+    mag = mag.reshape(k, -1)                                   # (K, P2)
+    ang = ang.reshape(k, -1)
 
     sbp = DESC_MAGNIF * s + MACHINE_EPS                        # :54
     w_r = jnp.floor(math.sqrt(2.0) * sbp * (NBP + 1) / 2.0 + 0.5)  # :55
@@ -150,6 +149,25 @@ def _descriptors_one_level(
         "kyp,kpt->kyt", lhs, wt, preferred_element_type=jnp.float32
     )                                                          # (K, 16, 8)
     return hist.reshape(k, SIFT_VECTOR_SIZE)
+
+
+def _descriptors_one_level(
+    grad_level: jnp.ndarray,   # (H, W, 2)
+    x: jnp.ndarray,            # (K,) octave coords
+    y: jnp.ndarray,
+    s: jnp.ndarray,
+    angle0: jnp.ndarray,       # (K,) first orientation angle
+    valid: jnp.ndarray,        # (K,) keypoint-and-angle validity
+    radius: int,
+    config: SiftConfig,
+) -> jnp.ndarray:
+    xi = jnp.floor(x + 0.5).astype(jnp.int32)
+    yi = jnp.floor(y + 0.5).astype(jnp.int32)
+    patches = gather_patches(grad_level, yi, xi, radius)       # (K, P, P, 2)
+    return _descriptor_core(
+        patches[..., 0], patches[..., 1], x, y, xi, yi, s, angle0, valid,
+        radius, config,
+    )
 
 
 def normalize_descriptors(desc: jnp.ndarray) -> jnp.ndarray:
@@ -212,3 +230,41 @@ def compute_descriptors(
             dvalid[..., None], normalize_descriptors(desc), 0.0
         )
     return desc, dvalid
+
+
+def compute_descriptors_merged(
+    grad_stack: jnp.ndarray,  # (O, L, H, W, 2) zero-padded gradient stack
+    x: jnp.ndarray,           # (M,) input-image coords
+    y: jnp.ndarray,
+    sigma: jnp.ndarray,       # (M,) input-image scale
+    octave: jnp.ndarray,      # (M,) int32
+    level: jnp.ndarray,       # (M,) int32
+    angle0: jnp.ndarray,      # (M,) describing orientation angle
+    valid: jnp.ndarray,       # (M,) keypoint-and-angle validity
+    config: SiftConfig,
+):
+    """Descriptors for a merged cross-octave keypoint set: (M, 128) + (M,).
+
+    Same math as ``compute_descriptors`` but batched over one flat set of
+    M keypoints spanning all octaves/levels — a single stacked-gradient
+    gather with the worst-case (deepest level) static patch radius; each
+    keypoint's actual window is the usual ``w_r`` mask.  The merged
+    pipeline runs this *after* global top-M selection, so the tent GEMMs
+    cover M real keypoints instead of ``O * L * max_keypoints_per_level``
+    capacity slots.
+    """
+    radius = static_radius_for_level(config.num_dog_levels - 1, config)
+    xper = jnp.exp2(octave.astype(jnp.float32))
+    xo = x / xper
+    yo = y / xper
+    so = sigma / xper
+    xi = jnp.floor(xo + 0.5).astype(jnp.int32)
+    yi = jnp.floor(yo + 0.5).astype(jnp.int32)
+    patches = gather_patches_from_stack(grad_stack, octave, level, yi, xi, radius)
+    desc = _descriptor_core(
+        patches[..., 0], patches[..., 1], xo, yo, xi, yi, so, angle0, valid,
+        radius, config,
+    )
+    if not config.compat.unnormalized_descriptors:
+        desc = jnp.where(valid[..., None], normalize_descriptors(desc), 0.0)
+    return desc, valid

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..config import NUM_ORI_BINS, SiftConfig
 from .gradients import TWO_PI
 from .keypoints import Keypoints
-from .patches import gather_patches, patch_offsets
+from .patches import gather_patches, gather_patches_from_stack, patch_offsets
 
 
 def smooth_histogram(hist: jnp.ndarray, iterations: int = 6) -> jnp.ndarray:
@@ -39,22 +39,20 @@ def smooth_histogram(hist: jnp.ndarray, iterations: int = 6) -> jnp.ndarray:
     return hist
 
 
-def _histograms_one_level(
-    grad_level: jnp.ndarray,  # (H, W, 2) polar gradients of this level
-    x: jnp.ndarray,           # (K,) octave-coords keypoint x
+def _histograms_core(
+    mag: jnp.ndarray,        # (K, P, P) gradient magnitudes around keypoints
+    ang: jnp.ndarray,        # (K, P, P) gradient angles
+    x: jnp.ndarray,          # (K,) octave-coords keypoint x
     y: jnp.ndarray,
-    s: jnp.ndarray,           # (K,) octave-coords scale
-    valid: jnp.ndarray,       # (K,) bool
+    xi: jnp.ndarray,         # (K,) int32 patch-centre integer coords
+    yi: jnp.ndarray,
+    s: jnp.ndarray,          # (K,) octave-coords scale
+    valid: jnp.ndarray,      # (K,) bool
+    radius: int,
     config: SiftConfig,
 ) -> jnp.ndarray:
-    radius = config.max_orientation_radius
-    xi = jnp.floor(x + 0.5).astype(jnp.int32)   # (int)(x + 0.5), x >= 0
-    yi = jnp.floor(y + 0.5).astype(jnp.int32)
-
-    patches = gather_patches(grad_level, yi, xi, radius)       # (K, P, P, 2)
-    mag = patches[..., 0]
-    ang = patches[..., 1]
-
+    """Raw 36-bin histograms from gathered gradient patches
+    (``kernel_orientations_optim`` accumulation, ``orientation.cu:35-60``)."""
     sigma_w = 1.5 * s                                           # gauss_factor
     w_r = jnp.maximum(jnp.floor(3.0 * sigma_w), 1.0)            # :27-28
     w_r = jnp.minimum(w_r, float(radius))                       # :29 clamp
@@ -85,6 +83,23 @@ def _histograms_one_level(
     bins_flat = bins.reshape(k, -1)
     one_hot = jax.nn.one_hot(bins_flat, NUM_ORI_BINS, dtype=jnp.float32)
     return jnp.einsum("kp,kpb->kb", weight_flat, one_hot)
+
+
+def _histograms_one_level(
+    grad_level: jnp.ndarray,  # (H, W, 2) polar gradients of this level
+    x: jnp.ndarray,           # (K,) octave-coords keypoint x
+    y: jnp.ndarray,
+    s: jnp.ndarray,           # (K,) octave-coords scale
+    valid: jnp.ndarray,       # (K,) bool
+    config: SiftConfig,
+) -> jnp.ndarray:
+    radius = config.max_orientation_radius
+    xi = jnp.floor(x + 0.5).astype(jnp.int32)   # (int)(x + 0.5), x >= 0
+    yi = jnp.floor(y + 0.5).astype(jnp.int32)
+    patches = gather_patches(grad_level, yi, xi, radius)       # (K, P, P, 2)
+    return _histograms_core(
+        patches[..., 0], patches[..., 1], x, y, xi, yi, s, valid, radius, config
+    )
 
 
 def pick_peaks(hist: jnp.ndarray):
@@ -144,5 +159,43 @@ def compute_orientations(
     hists = smooth_histogram(hists)
     angles, avalid = pick_peaks(hists)
     avalid = avalid & keypoints.valid[..., None]
+    angles = jnp.where(avalid, angles, -1.0)
+    return angles, avalid
+
+
+def compute_orientations_merged(
+    grad_stack: jnp.ndarray,  # (O, L, H, W, 2) zero-padded gradient stack
+    x: jnp.ndarray,           # (M,) input-image coords
+    y: jnp.ndarray,
+    sigma: jnp.ndarray,       # (M,) input-image scale
+    octave: jnp.ndarray,      # (M,) int32
+    level: jnp.ndarray,       # (M,) int32
+    valid: jnp.ndarray,       # (M,) bool
+    config: SiftConfig,
+):
+    """Orientations for a merged cross-octave keypoint set.
+
+    Same math as ``compute_orientations`` but batched over one flat set
+    of M keypoints spanning all octaves/levels: a single stacked-gradient
+    gather replaces O separate per-octave passes over capacity padding
+    (the merged pipeline selects the global top-M keypoints *before* this
+    stage, so M is ``max_features``, not ``O * L * max_keypoints_per_level``).
+
+    Returns ``angles`` (M, 2) and ``valid`` (M, 2).
+    """
+    radius = config.max_orientation_radius
+    xper = jnp.exp2(octave.astype(jnp.float32))
+    xo = x / xper
+    yo = y / xper
+    so = sigma / xper
+    xi = jnp.floor(xo + 0.5).astype(jnp.int32)
+    yi = jnp.floor(yo + 0.5).astype(jnp.int32)
+    patches = gather_patches_from_stack(grad_stack, octave, level, yi, xi, radius)
+    hists = _histograms_core(
+        patches[..., 0], patches[..., 1], xo, yo, xi, yi, so, valid, radius, config
+    )
+    hists = smooth_histogram(hists)
+    angles, avalid = pick_peaks(hists)
+    avalid = avalid & valid[..., None]
     angles = jnp.where(avalid, angles, -1.0)
     return angles, avalid

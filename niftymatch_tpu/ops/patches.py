@@ -38,6 +38,45 @@ def gather_patches(img: jnp.ndarray, yc: jnp.ndarray, xc: jnp.ndarray, radius: i
     return jax.vmap(one)(yc, xc)
 
 
+def gather_patches_from_stack(
+    stack: jnp.ndarray,
+    octave: jnp.ndarray,
+    level: jnp.ndarray,
+    yc: jnp.ndarray,
+    xc: jnp.ndarray,
+    radius: int,
+):
+    """Gather patches from a zero-padded per-octave gradient stack.
+
+    ``stack``: (O, L, H, W[, C]) — octave ``o``'s data occupies the
+    top-left ``(H >> o, W >> o)`` corner of its slice (see
+    ``pyramid.stack_gradients``); the rest is zero, so out-of-octave
+    samples contribute nothing downstream (same argument as
+    ``gather_patches``).  ``octave``/``level``/``yc``/``xc``: (K,) int32
+    per-keypoint indices, coords in *octave* pixels.  Returns
+    (K, P, P[, C]) with P = 2*radius + 1.
+
+    This is the merged-pipeline gather: one call for every keypoint of
+    every octave/level, replacing O*L per-level gathers over
+    mostly-padding capacity slots.
+    """
+    h, w = stack.shape[2], stack.shape[3]
+    yc = jnp.clip(yc, 0, h - 1)
+    xc = jnp.clip(xc, 0, w - 1)
+    pad = ((0, 0), (0, 0), (radius, radius), (radius, radius)) + ((0, 0),) * (
+        stack.ndim - 4
+    )
+    padded = jnp.pad(stack, pad)
+    p = 2 * radius + 1
+    sizes = (1, 1, p, p) + stack.shape[4:]
+    zeros = (0,) * (stack.ndim - 4)
+
+    def one(o, l, y, x):
+        return jax.lax.dynamic_slice(padded, (o, l, y, x) + zeros, sizes)[0, 0]
+
+    return jax.vmap(one)(octave, level, yc, xc)
+
+
 def patch_offsets(radius: int):
     """(P, P) integer offset grids (dy, dx) in [-radius, radius]."""
     r = jnp.arange(-radius, radius + 1, dtype=jnp.float32)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import List, NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..config import SiftConfig
@@ -53,7 +54,6 @@ def build_octave_gaussians(
     level_kernels,
     num_levels: int,
     first_kernel=None,
-    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Stack of Gaussian levels for one octave.
 
@@ -65,10 +65,10 @@ def build_octave_gaussians(
     levels = []
     current = base_image
     if first_kernel is not None:
-        current = convolve_separable(current, first_kernel, use_pallas)
+        current = convolve_separable(current, first_kernel)
     levels.append(current)
     for l in range(num_levels - 1):
-        current = convolve_separable(current, level_kernels[l], use_pallas)
+        current = convolve_separable(current, level_kernels[l])
         levels.append(current)
     return jnp.stack(levels, axis=0)
 
@@ -94,9 +94,9 @@ def build_pyramid(image: jnp.ndarray, config: SiftConfig) -> List[OctaveData]:
         raise ValueError(
             f"image shape {image.shape} != config ({config.height}, {config.width})"
         )
+    # Kernels stay host-side numpy: _conv_1d folds the taps into the
+    # compiled program as scalar constants.
     base_kernel, level_kernels = gaussian_kernels(config)
-    base_kernel = jnp.asarray(base_kernel)
-    level_kernels = [jnp.asarray(k) for k in level_kernels]
 
     octaves: List[OctaveData] = []
     current = image.astype(jnp.float32)
@@ -106,7 +106,6 @@ def build_pyramid(image: jnp.ndarray, config: SiftConfig) -> List[OctaveData]:
             level_kernels,
             config.num_gauss_levels,
             first_kernel=base_kernel if o == 0 else None,
-            use_pallas=config.use_pallas_blur,
         )
         octaves.append(
             OctaveData(
@@ -119,3 +118,23 @@ def build_pyramid(image: jnp.ndarray, config: SiftConfig) -> List[OctaveData]:
         # index num_dog_levels (scale index num_dog_levels + level_min).
         current = downsample_by_2(gauss[config.num_dog_levels])
     return octaves
+
+
+def stack_gradients(octaves: List[OctaveData]) -> jnp.ndarray:
+    """Zero-padded (O, L, H0, W0, 2) gradient stack over all octaves.
+
+    Octave ``o``'s (L, H0>>o, W0>>o, 2) gradients occupy the top-left
+    corner of slice ``o``; the padding is zero, so gathers that spill into
+    it read zero-magnitude gradients, which contribute nothing to any
+    histogram (the same argument that makes ``gather_patches``' border
+    padding free).  Feeds the merged-pipeline patch gathers.
+    """
+    n_oct = len(octaves)
+    l, h, w, c = octaves[0].grad.shape
+    out = jnp.zeros((n_oct, l, h, w, c), jnp.float32)
+    for o, data in enumerate(octaves):
+        lo, ho, wo, _ = data.grad.shape
+        out = jax.lax.dynamic_update_slice(
+            out, data.grad[None].astype(jnp.float32), (o, 0, 0, 0, 0)
+        )
+    return out

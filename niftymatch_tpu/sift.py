@@ -25,11 +25,11 @@ import jax.numpy as jnp
 
 from .config import PipelineConfig, SiftConfig
 from .features import Features, concat_features, topk_features
-from .ops.descriptor import compute_descriptors
+from .ops.descriptor import compute_descriptors, compute_descriptors_merged
 from .ops.keypoints import detect_keypoints
 from .ops.match import MatchResult, match_descriptors
-from .ops.orientation import compute_orientations
-from .ops.pyramid import build_pyramid
+from .ops.orientation import compute_orientations, compute_orientations_merged
+from .ops.pyramid import build_pyramid, stack_gradients
 
 
 def _octave_features(
@@ -76,6 +76,50 @@ def _octave_features(
     return out
 
 
+def _merge_keypoints(kp_list, config: SiftConfig):
+    """Global top-``max_features`` selection over all octaves' keypoints.
+
+    Flattens each octave's (L, K) per-level capacity slots into one pool,
+    ranks by |DoG| response with -inf on invalid slots, and keeps the top
+    M = ``config.max_features``.  Replaces the reference's first-come
+    capacity clamp (``siftfunctions.cu:165-178``) *before* the expensive
+    orientation/descriptor stages, so those stages touch M real keypoints
+    instead of every capacity slot.
+    """
+    def cat(get):
+        return jnp.concatenate([get(kp, o).reshape(-1) for o, kp in enumerate(kp_list)])
+
+    x = cat(lambda kp, o: kp.x)
+    y = cat(lambda kp, o: kp.y)
+    sigma = cat(lambda kp, o: kp.sigma)
+    resp = cat(lambda kp, o: kp.response)
+    valid = cat(lambda kp, o: kp.valid)
+    level = cat(lambda kp, o: kp.level)
+    octave = cat(
+        lambda kp, o: jnp.full(kp.x.shape, o, jnp.int32)
+    )
+
+    m = config.max_features
+    scores = jnp.where(valid, resp, -jnp.inf)
+    if scores.shape[0] < m:
+        pad = m - scores.shape[0]
+        scores = jnp.pad(scores, (0, pad), constant_values=-jnp.inf)
+        x, y, sigma, resp = (jnp.pad(a, (0, pad)) for a in (x, y, sigma, resp))
+        level, octave = (jnp.pad(a, (0, pad)) for a in (level, octave))
+    top_scores, idx = jax.lax.top_k(scores, m)
+    sel_valid = jnp.isfinite(top_scores)
+    take = lambda a: jnp.take(a, idx, axis=0)
+    return dict(
+        x=take(x),
+        y=take(y),
+        sigma=take(sigma),
+        response=jnp.where(sel_valid, top_scores, 0.0),
+        level=take(level),
+        octave=take(octave),
+        valid=sel_valid,
+    )
+
+
 def detect_and_describe(
     image: jnp.ndarray,
     config: SiftConfig,
@@ -88,8 +132,65 @@ def detect_and_describe(
     driver-level parity with ``compute_keypoints_with_mask``
     (``siftfunctions.h:19-101``, ``siftfunctions.cu:65-98``).
 
+    Merged pipeline: per-octave extrema detection feeds a *global*
+    top-``max_features`` selection, and orientation + descriptors then run
+    once over that merged set (single stacked-gradient gather) instead of
+    per octave over capacity padding — ~3x fewer gather/tent FLOPs at the
+    default config.  Semantically this matches the per-octave path except
+    when a selected keypoint yields no orientation peak (its slot stays
+    invalid rather than being backfilled by a lower-response keypoint).
+
     Jit this (config is static via closure / partial) once per image size.
     """
+    octaves = build_pyramid(image, config)
+    if mask is not None:
+        mask = mask.astype(jnp.float32)
+    kp_list = [
+        detect_keypoints(data.dog, o, config, mask_image=mask)
+        for o, data in enumerate(octaves)
+    ]
+    mk = _merge_keypoints(kp_list, config)
+    gstack = stack_gradients(octaves)
+    angles, avalid = compute_orientations_merged(
+        gstack, mk["x"], mk["y"], mk["sigma"], mk["octave"], mk["level"],
+        mk["valid"], config,
+    )
+
+    def block(angle_index: int) -> Features:
+        bvalid = mk["valid"] & avalid[:, angle_index]
+        desc, dvalid = compute_descriptors_merged(
+            gstack, mk["x"], mk["y"], mk["sigma"], mk["octave"], mk["level"],
+            angles[:, angle_index], bvalid, config,
+        )
+        return Features(
+            x=mk["x"],
+            y=mk["y"],
+            sigma=mk["sigma"],
+            angle=jnp.where(bvalid, angles[:, angle_index], 0.0),
+            response=mk["response"],
+            octave=mk["octave"],
+            level=mk["level"],
+            desc=desc,
+            valid=dvalid,
+        )
+
+    out = block(0)
+    if config.use_second_orientation:
+        # One feature per orientation peak (VLFeat convention); peak-1
+        # features only exist where the histogram had a second peak.
+        out = concat_features([out, block(1)])
+    return topk_features(out, config.max_features)
+
+
+def detect_and_describe_per_octave(
+    image: jnp.ndarray,
+    config: SiftConfig,
+    mask: jnp.ndarray | None = None,
+) -> Features:
+    """Reference-shaped per-octave pipeline (oracle for the merged path):
+    orientation/descriptors computed for every capacity slot of every
+    octave, then one global top-k — the exact composition of the
+    per-octave stage functions that mirror ``siftfunctions.cu``."""
     octaves = build_pyramid(image, config)
     if mask is not None:
         mask = mask.astype(jnp.float32)
