@@ -97,50 +97,61 @@ def main():
     except Exception:
         pass
     import jax.numpy as jnp
+    import numpy as _np
 
-    from niftymatch_tpu import PipelineConfig, SiftConfig, make_pair_pipeline
+    from niftymatch_tpu import SiftConfig
+    from niftymatch_tpu.sift import detect_and_describe_batch, match_pair
 
     h, w = 480, 640
-    # Distinct input pairs per iteration (identical repeated dispatches can
-    # be memoized by the runtime and overstate throughput).
-    n_pairs = 8
-    pairs = []
-    for s in range(n_pairs):
-        scene = make_scene(h, w, seed=s)
-        pairs.append(
+    cfg = SiftConfig(width=w, height=h)
+    # Chunked dispatch, the production serving mode (same shape as the SLAM
+    # loop): each compiled call detects a batch of 2*chunk keyframes and
+    # ratio-test matches the chunk's pairs — one dispatch, no per-pair host
+    # round-trips.  Inputs are DISTINCT per call (identical repeated
+    # dispatches can be memoized by the runtime and overstate throughput).
+    chunk = 8                       # pairs per dispatch (16 keyframes)
+    n_batches = 6
+
+    def pair_chunk(imgs_a, imgs_b):
+        feats = detect_and_describe_batch(
+            jnp.concatenate([imgs_a, imgs_b]), cfg
+        )
+        fa = jax.tree.map(lambda v: v[:chunk], feats)
+        fb = jax.tree.map(lambda v: v[chunk:], feats)
+        m = jax.vmap(lambda a, b: match_pair(a, b).indices)(fa, fb)
+        return m
+
+    run = jax.jit(pair_chunk)
+
+    batches = []
+    for bi in range(n_batches + 1):
+        scenes = [
+            make_scene(h, w, seed=bi * chunk + s) for s in range(chunk)
+        ]
+        batches.append(
             (
-                jnp.asarray(scene[:h, :w]),
-                jnp.asarray(scene[5 : h + 5, 5 : w + 5]),
+                jnp.asarray(_np.stack([sc[:h, :w] for sc in scenes])),
+                jnp.asarray(
+                    _np.stack([sc[5 : h + 5, 5 : w + 5] for sc in scenes])
+                ),
             )
         )
 
-    run = make_pair_pipeline(PipelineConfig(sift=SiftConfig(width=w, height=h)))
+    # Warm-up / compile (fetch-forced: through the tunneled runtime
+    # block_until_ready can return before execution finishes).
+    jax.device_get(run(*batches[-1])[:1, :1])
 
-    # Warm-up / compile.
-    for img_a, img_b in pairs[:2]:
-        fa, fb, m = run(img_a, img_b)
-    jax.block_until_ready(m.indices)
-
-    # Timed: each call detects+describes 2 keyframes and matches the pair.
-    # Completion is forced by FETCHING real output values (device_get), not
-    # block_until_ready — through the tunneled runtime block_until_ready can
-    # return before execution finishes, overstating throughput by orders of
-    # magnitude.  Single-chip execution is in launch order, so fetching every
-    # 8th output (plus the last) bounds the pipeline while keeping dispatch
-    # overlap — this measures honest pipelined throughput.
-    iters = 48
+    # Timed: completion forced by FETCHING real output values; execution is
+    # in launch order on a single chip, so fetching the final batch's output
+    # bounds the whole pipeline while keeping dispatch overlap.
     outs = []
     start = time.perf_counter()
-    for i in range(iters):
-        img_a, img_b = pairs[i % n_pairs]
-        fa, fb, m = run(img_a, img_b)
-        outs.append(m.indices)
-        if (i + 1) % 8 == 0:
-            jax.device_get(outs[i][:1])
-    jax.device_get(outs[-1][:1])
+    for bi in range(n_batches):
+        outs.append(run(*batches[bi]))
+    jax.device_get(outs[-1][:1, :1])
     elapsed = time.perf_counter() - start
 
-    kf_per_s = 2.0 * iters / elapsed
+    kf_per_s = 2.0 * chunk * n_batches / elapsed
 
     try:
         extra = bench_slam_loop()

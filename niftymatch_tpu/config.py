@@ -101,6 +101,13 @@ class SiftConfig:
     # capacity and raises match density on rotation-rich scenes.
     use_second_orientation: bool = False
 
+    # Fused per-keypoint window kernels (pallas/windows.py) for the
+    # orientation + descriptor stages on TPU backends: double-buffered DMA
+    # windows, VMEM-resident tent math, and valid-prefix skipping (work
+    # scales with detected keypoints, not capacity).  Non-TPU backends
+    # always use the jnp merged path.
+    use_pallas_windows: bool = True
+
     compat: CompatFlags = dataclasses.field(default_factory=CompatFlags)
 
     # ------------------------------------------------------------------

@@ -150,18 +150,41 @@ def detect_and_describe(
         for o, data in enumerate(octaves)
     ]
     mk = _merge_keypoints(kp_list, config)
-    gstack = stack_gradients(octaves)
-    angles, avalid = compute_orientations_merged(
-        gstack, mk["x"], mk["y"], mk["sigma"], mk["octave"], mk["level"],
-        mk["valid"], config,
+
+    use_windows = (
+        config.use_pallas_windows and jax.default_backend() == "tpu"
     )
+    if use_windows:
+        from .pallas.windows import (
+            build_grad_planes,
+            compute_descriptors_merged_pallas,
+            compute_orientations_merged_pallas,
+        )
+
+        planes = build_grad_planes(octaves, config)
+        angles, avalid = compute_orientations_merged_pallas(
+            planes, mk["x"], mk["y"], mk["sigma"], mk["octave"], mk["level"],
+            mk["valid"], config,
+        )
+    else:
+        gstack = stack_gradients(octaves)
+        angles, avalid = compute_orientations_merged(
+            gstack, mk["x"], mk["y"], mk["sigma"], mk["octave"], mk["level"],
+            mk["valid"], config,
+        )
 
     def block(angle_index: int) -> Features:
         bvalid = mk["valid"] & avalid[:, angle_index]
-        desc, dvalid = compute_descriptors_merged(
-            gstack, mk["x"], mk["y"], mk["sigma"], mk["octave"], mk["level"],
-            angles[:, angle_index], bvalid, config,
-        )
+        if use_windows:
+            desc, dvalid = compute_descriptors_merged_pallas(
+                planes, mk["x"], mk["y"], mk["sigma"], mk["octave"],
+                mk["level"], angles[:, angle_index], bvalid, config,
+            )
+        else:
+            desc, dvalid = compute_descriptors_merged(
+                gstack, mk["x"], mk["y"], mk["sigma"], mk["octave"],
+                mk["level"], angles[:, angle_index], bvalid, config,
+            )
         return Features(
             x=mk["x"],
             y=mk["y"],
@@ -180,6 +203,87 @@ def detect_and_describe(
         # features only exist where the histogram had a second peak.
         out = concat_features([out, block(1)])
     return topk_features(out, config.max_features)
+
+
+def detect_and_describe_batch(
+    images: jnp.ndarray,
+    config: SiftConfig,
+) -> Features:
+    """Batched detection: (B, H, W) -> Features with a leading batch axis.
+
+    On TPU the Pallas window kernels are natively batch-capable: the B
+    images' gradient planes concatenate along rows and their merged
+    keypoint sets along the keypoint axis (per-keypoint ``slab_base`` row
+    offsets route each window DMA to its own image), so orientation +
+    descriptors for the whole batch run as ONE kernel launch each — B*M
+    grid programs, still skipping invalid slots.  Elsewhere this is a
+    plain ``vmap`` of ``detect_and_describe``.
+    """
+    if not (config.use_pallas_windows and jax.default_backend() == "tpu"):
+        return jax.vmap(lambda im: detect_and_describe(im, config))(images)
+
+    from .pallas.windows import (
+        build_grad_planes,
+        compute_descriptors_merged_pallas,
+        compute_orientations_merged_pallas,
+    )
+
+    def front(im):
+        octaves = build_pyramid(im, config)
+        kp_list = [
+            detect_keypoints(data.dog, o, config)
+            for o, data in enumerate(octaves)
+        ]
+        return _merge_keypoints(kp_list, config), build_grad_planes(
+            octaves, config
+        )
+
+    mk, planes = jax.vmap(front)(images)
+    b = images.shape[0]
+    m = config.max_features
+    rows_per_image = planes.mag.shape[1]
+    planes = type(planes)(
+        planes.mag.reshape(b * rows_per_image, -1),
+        planes.ang.reshape(b * rows_per_image, -1),
+        planes.radius,
+        planes.slab_h,
+        planes.num_levels,
+    )
+    slab_base = jnp.repeat(
+        jnp.arange(b, dtype=jnp.int32) * rows_per_image, m
+    )
+    fl = {k: v.reshape((b * m,) + v.shape[2:]) for k, v in mk.items()}
+
+    angles, avalid = compute_orientations_merged_pallas(
+        planes, fl["x"], fl["y"], fl["sigma"], fl["octave"], fl["level"],
+        fl["valid"], config, slab_base=slab_base,
+    )
+
+    def block(angle_index: int) -> Features:
+        bvalid = fl["valid"] & avalid[:, angle_index]
+        desc, dvalid = compute_descriptors_merged_pallas(
+            planes, fl["x"], fl["y"], fl["sigma"], fl["octave"], fl["level"],
+            angles[:, angle_index], bvalid, config, slab_base=slab_base,
+        )
+        unb = lambda a: a.reshape((b, m) + a.shape[1:])
+        return Features(
+            x=unb(fl["x"]),
+            y=unb(fl["y"]),
+            sigma=unb(fl["sigma"]),
+            angle=unb(jnp.where(bvalid, angles[:, angle_index], 0.0)),
+            response=unb(fl["response"]),
+            octave=unb(fl["octave"]),
+            level=unb(fl["level"]),
+            desc=unb(desc),
+            valid=unb(dvalid),
+        )
+
+    out = block(0)
+    if config.use_second_orientation:
+        out = jax.vmap(lambda f1, f2: concat_features([f1, f2]))(
+            out, block(1)
+        )
+    return jax.vmap(lambda f: topk_features(f, config.max_features))(out)
 
 
 def detect_and_describe_per_octave(
@@ -263,7 +367,7 @@ def make_batch_detector(config: SiftConfig):
 
     @jax.jit
     def detect(images):
-        return jax.vmap(lambda im: detect_and_describe(im, config))(images)
+        return detect_and_describe_batch(images, config)
 
     return detect
 

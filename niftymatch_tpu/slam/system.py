@@ -203,11 +203,9 @@ class SlamSystem:
 
                 u, v = self._undist
                 frames = jax.vmap(lambda f: remap(f, u, v))(frames)
-            from ..sift import detect_and_describe
+            from ..sift import detect_and_describe_batch
 
-            feats_b = jax.vmap(
-                lambda im: detect_and_describe(im, sift_cfg)
-            )(frames)
+            feats_b = detect_and_describe_batch(frames, sift_cfg)
             outs, accepts = slam_chunk(
                 kf_feats, feats_b, pose, world, has, fx4,
                 config.ransac, config.min_inliers,

@@ -4,18 +4,24 @@ exercised without TPU hardware (SURVEY.md §4: multi-host tests via
 
 import os
 
-# Must run before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# Must run before jax is imported anywhere.  NIFTYMATCH_TEST_TPU=1 leaves
+# the default backend alone so the TPU-gated kernel tests
+# (test_pallas_windows.py, test_pallas_match.py TPU paths) can run on a
+# real chip: `NIFTYMATCH_TEST_TPU=1 pytest tests/test_pallas_windows.py`.
+_USE_TPU = os.environ.get("NIFTYMATCH_TEST_TPU") == "1"
+if not _USE_TPU:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
