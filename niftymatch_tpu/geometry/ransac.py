@@ -22,10 +22,15 @@ hypothesis that serially counts inliers over all points.  Here:
   distinct indices (the reference instead re-rolls duplicates into a
   degenerate hypothesis it discards, ``ransac.cu:501-506``);
 * all hypotheses are solved by one ``vmap`` over the mask-weighted solvers;
-* inlier counting is one (hypotheses x points) masked reduction — a
-  VPU-shaped broadcast, no serial loop;
-* winner by ``argmax``; optional least-squares refit on the winner's
-  inliers (new — the reference returns the raw minimal-sample model).
+* hypothesis scoring is one (hypotheses x points) masked reduction — a
+  VPU-shaped broadcast, no serial loop.  Transfer-error models use the
+  MSAC truncated quadratic ``sum(min(err, tau))`` rather than the
+  reference's raw inlier count (``eval_transformation``,
+  ``ransac.cu:61-82``), which mis-ranks biased models on few clustered
+  correspondences; epipolar models keep count-argmax (see the scoring
+  comment in :func:`ransac`);
+* optional least-squares refit on the winner's inliers (new — the
+  reference returns the raw minimal-sample model).
 """
 
 from __future__ import annotations
@@ -175,9 +180,31 @@ def ransac(
         )  # (I, 3, 3)
 
     errs = jax.vmap(lambda m: err_fn(m, src, dst))(models)  # (I[*10], N)
-    is_inlier = (errs < config.inlier_threshold) & mask[None, :]
-    counts = jnp.sum(is_inlier, axis=-1) * live.astype(jnp.int32)
-    best = jnp.argmax(counts)
+    tau = config.inlier_threshold
+    is_inlier = (errs < tau) & mask[None, :]
+    # Hypothesis scoring.  For the 2-D transfer-error models the winner is
+    # chosen by the MSAC truncated loss (Torr & Zisserman):
+    # score = sum_j min(err_j, tau), minimised — instead of the reference's
+    # raw inlier count (``eval_transformation``, ``ransac.cu:61-82``).
+    # Pure counting lets a biased model that spreads residuals across the
+    # whole threshold band out-count the true model when correspondences
+    # are few and clustered (e.g. a scaled homography absorbing a pure
+    # translation); the truncated quadratic prefers the model that fits its
+    # inliers *tightly*.  The epipolar models (essential/fundamental) keep
+    # count-argmax: the Sampson residual is a distance to a 1-D point-to-
+    # line constraint, so "tight aggregate fit" is weak evidence and MSAC
+    # there favours near-degenerate epipolar geometries that graze many
+    # points; breadth of support is the meaningful signal.
+    use_msac = model not in ("fundamental", "essential", "essential5")
+    if use_msac:
+        scores = jnp.sum(
+            jnp.where(mask[None, :], jnp.minimum(errs, tau), 0.0), axis=-1
+        )
+        scores = jnp.where(live, scores, jnp.inf)
+        best = jnp.argmin(scores)
+    else:
+        counts = jnp.sum(is_inlier, axis=-1) * live.astype(jnp.int32)
+        best = jnp.argmax(counts)
 
     transform = models[best]
     inliers = is_inlier[best]
@@ -188,8 +215,14 @@ def ransac(
         refitted = fitter(src, dst, refit_w)
         transform = jnp.where(can, refitted, transform)
         re_err = err_fn(transform, src, dst)
-        re_inl = (re_err < config.inlier_threshold) & mask
-        keep = jnp.sum(re_inl) >= jnp.sum(inliers)
+        re_inl = (re_err < tau) & mask
+        if use_msac:
+            re_score = jnp.sum(
+                jnp.where(mask, jnp.minimum(re_err, tau), 0.0)
+            )
+            keep = re_score <= scores[best]
+        else:
+            keep = jnp.sum(re_inl) >= jnp.sum(inliers)
         transform = jnp.where(keep, transform, models[best])
         inliers = jnp.where(keep, re_inl, inliers)
 

@@ -23,6 +23,24 @@ import jax  # noqa: E402
 if not _USE_TPU:
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache shared by all workers/runs: the suite is
+# compile-bound (XLA:CPU LLVM codegen dominates wall time), and jitted
+# graphs are identical across runs, so warm reruns skip the compile storm
+# entirely.  Safe under xdist (the cache uses atomic renames).  Disable
+# with NIFTYMATCH_TEST_NO_CACHE=1 when hunting compiler issues.
+if os.environ.get("NIFTYMATCH_TEST_NO_CACHE") != "1":
+    _cache = os.environ.get(
+        "NIFTYMATCH_TEST_CACHE_DIR",
+        os.path.join(os.path.dirname(__file__), ".jax_cache"),
+    )
+    try:
+        os.makedirs(_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

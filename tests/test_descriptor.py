@@ -1,5 +1,6 @@
 """Descriptor extraction vs. the naive oracle, plus matcher tests."""
 
+import jax
 import numpy as np
 import pytest
 import jax.numpy as jnp
@@ -39,12 +40,20 @@ def test_descriptors_match_oracle(test_image):
         c = SiftConfig(
             width=128, height=96, max_keypoints_per_level=32, compat=compat
         )
-        octs = build_pyramid(jnp.asarray(test_image), c)
-        kpts = detect_keypoints(octs[0].dog, 0, c)
-        angles, avalid = compute_orientations(kpts, octs[0].grad, 0, c)
-        desc, dvalid = compute_descriptors(kpts, angles, avalid, octs[0].grad, 0, c)
 
-        grad = np.asarray(octs[0].grad).astype(np.float64)
+        @jax.jit
+        def run(img):
+            octs = build_pyramid(img, c)
+            kpts = detect_keypoints(octs[0].dog, 0, c)
+            angles, avalid = compute_orientations(kpts, octs[0].grad, 0, c)
+            desc, dvalid = compute_descriptors(
+                kpts, angles, avalid, octs[0].grad, 0, c
+            )
+            return octs[0].grad, kpts, angles, desc, dvalid
+
+        grad0, kpts, angles, desc, dvalid = run(jnp.asarray(test_image))
+
+        grad = np.asarray(grad0).astype(np.float64)
         xs, ys, ss = np.asarray(kpts.x), np.asarray(kpts.y), np.asarray(kpts.sigma)
         a = np.asarray(angles)
         dv = np.asarray(dvalid)
@@ -80,10 +89,15 @@ def test_normalization_sequence():
 
 def test_invalid_keypoints_get_zero_descriptors(test_image):
     c = SiftConfig(width=128, height=96, max_keypoints_per_level=32)
-    octs = build_pyramid(jnp.asarray(test_image), c)
-    kpts = detect_keypoints(octs[0].dog, 0, c)
-    angles, avalid = compute_orientations(kpts, octs[0].grad, 0, c)
-    desc, dvalid = compute_descriptors(kpts, angles, avalid, octs[0].grad, 0, c)
+
+    @jax.jit
+    def run(img):
+        octs = build_pyramid(img, c)
+        kpts = detect_keypoints(octs[0].dog, 0, c)
+        angles, avalid = compute_orientations(kpts, octs[0].grad, 0, c)
+        return compute_descriptors(kpts, angles, avalid, octs[0].grad, 0, c)
+
+    desc, dvalid = run(jnp.asarray(test_image))
     d = np.asarray(desc)
     dv = np.asarray(dvalid)
     assert np.all(d[~dv] == 0.0)

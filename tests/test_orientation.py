@@ -1,5 +1,6 @@
 """Orientation assignment vs. the naive oracle (production-kernel semantics)."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -46,18 +47,22 @@ def test_pick_peaks_two_angles_in_bin_order():
     assert a[0] < a[1]  # bin order
 
 
-def _detect(test_image, compat=CompatFlags()):
-    c = SiftConfig(width=128, height=96, max_keypoints_per_level=64, compat=compat)
-    octs = build_pyramid(jnp.asarray(test_image), c)
-    kpts = detect_keypoints(octs[0].dog, 0, c)
-    return c, octs, kpts
-
-
 def test_orientations_match_oracle(test_image):
     for flipped in (False, True):
-        c, octs, kpts = _detect(test_image, CompatFlags(flipped_gaussian_sign=flipped))
-        angles, avalid = compute_orientations(kpts, octs[0].grad, 0, c)
-        grad = np.asarray(octs[0].grad)
+        c = SiftConfig(
+            width=128, height=96, max_keypoints_per_level=64,
+            compat=CompatFlags(flipped_gaussian_sign=flipped),
+        )
+
+        @jax.jit
+        def run(img):
+            octs = build_pyramid(img, c)
+            kpts = detect_keypoints(octs[0].dog, 0, c)
+            angles, avalid = compute_orientations(kpts, octs[0].grad, 0, c)
+            return octs[0].grad, kpts, angles, avalid
+
+        grad0, kpts, angles, avalid = run(jnp.asarray(test_image))
+        grad = np.asarray(grad0)
         v = np.asarray(kpts.valid)
         xs, ys, ss = np.asarray(kpts.x), np.asarray(kpts.y), np.asarray(kpts.sigma)
         a = np.asarray(angles)
@@ -82,6 +87,7 @@ def test_orientations_match_oracle(test_image):
 def test_rotated_gradient_gives_rotated_orientation(test_image):
     """Synthetic check: a pure-gradient patch yields the gradient's angle."""
     c = SiftConfig(width=64, height=64, max_keypoints_per_level=4)
+    run = jax.jit(lambda kpts, grad: compute_orientations(kpts, grad, 0, c))
     # gradient field pointing at a known angle everywhere
     for target in [0.3, 1.7, 4.0]:
         grad = np.zeros((c.num_dog_levels, 64, 64, 2), np.float32)
@@ -97,7 +103,7 @@ def test_rotated_gradient_gives_rotated_orientation(test_image):
             response=jnp.ones((3, 4)),
             valid=jnp.ones((3, 4), bool),
         )
-        angles, avalid = compute_orientations(kpts, jnp.asarray(grad), 0, c)
+        angles, avalid = run(kpts, jnp.asarray(grad))
         got = float(np.asarray(angles)[0, 0, 0])
         assert bool(np.asarray(avalid)[0, 0, 0])
         # histogram bin resolution is 10 degrees; interpolated peak lands

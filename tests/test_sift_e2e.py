@@ -1,6 +1,7 @@
 """End-to-end SIFT detect + describe + match tests (BASELINE config 1)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -14,6 +15,15 @@ from niftymatch_tpu import (
     match_pair,
 )
 from niftymatch_tpu.features import concat_features, topk_features
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _detector(c):
+    """Process-cached jitted detector per config: tests share compiles
+    instead of paying eager per-op dispatch for every call."""
+    return make_detector(c)
+
 
 
 def _structured_image(h, w, seed=0, n_blobs=25):
@@ -31,18 +41,19 @@ def _structured_image(h, w, seed=0, n_blobs=25):
 def test_detect_and_describe_runs_and_is_deterministic():
     img = _structured_image(96, 128, seed=1)
     c = SiftConfig(width=128, height=96, max_keypoints_per_level=64, max_features=256)
-    f1 = detect_and_describe(jnp.asarray(img), c)
-    f2 = detect_and_describe(jnp.asarray(img), c)
+    f1 = _detector(c)(jnp.asarray(img))
+    f2 = _detector(c)(jnp.asarray(img))
     assert isinstance(f1, Features)
     assert int(f1.count()) > 10
     np.testing.assert_array_equal(np.asarray(f1.x), np.asarray(f2.x))
     np.testing.assert_array_equal(np.asarray(f1.desc), np.asarray(f2.desc))
 
 
+@pytest.mark.slow  # the eager half is a per-op dispatch storm (~1 min)
 def test_detect_jit_compiles_and_matches_eager():
     img = _structured_image(96, 128, seed=2)
     c = SiftConfig(width=128, height=96, max_keypoints_per_level=64, max_features=256)
-    detect = make_detector(c)
+    detect = _detector(c)
     fj = detect(jnp.asarray(img))
     fe = detect_and_describe(jnp.asarray(img), c)
     # Compare valid slots only, order-insensitively: the padding tail holds
@@ -72,8 +83,10 @@ def test_merged_pipeline_matches_per_octave_oracle():
             width=128, height=96, max_keypoints_per_level=64, max_features=256,
             use_second_orientation=second,
         )
-        fm = detect_and_describe(jnp.asarray(img), c)
-        fo = detect_and_describe_per_octave(jnp.asarray(img), c)
+        fm = _detector(c)(jnp.asarray(img))
+        fo = jax.jit(
+            lambda x, _c=c: detect_and_describe_per_octave(x, _c)
+        )(jnp.asarray(img))
         vm, vo = np.asarray(fm.valid), np.asarray(fo.valid)
         assert vm.sum() == vo.sum() > 10
         om = np.lexsort((np.asarray(fm.angle)[vm], np.asarray(fm.y)[vm], np.asarray(fm.x)[vm]))
@@ -93,7 +106,7 @@ def test_merged_pipeline_matches_per_octave_oracle():
 def test_features_are_ranked_and_masked():
     img = _structured_image(96, 128, seed=3)
     c = SiftConfig(width=128, height=96, max_keypoints_per_level=64, max_features=64)
-    f = detect_and_describe(jnp.asarray(img), c)
+    f = _detector(c)(jnp.asarray(img))
     v = np.asarray(f.valid)
     r = np.asarray(f.response)
     assert np.all(np.diff(r[v]) <= 1e-6)  # descending response
@@ -111,8 +124,8 @@ def test_shifted_image_matches():
     img_a = base[:96, :128]
     img_b = base[sh : 96 + sh, sh : 128 + sh]  # shifted content
     c = SiftConfig(width=128, height=96, max_keypoints_per_level=64, max_features=256)
-    fa = detect_and_describe(jnp.asarray(img_a), c)
-    fb = detect_and_describe(jnp.asarray(img_b), c)
+    fa = _detector(c)(jnp.asarray(img_a))
+    fb = _detector(c)(jnp.asarray(img_b))
     m = match_pair(fa, fb, ambiguity=0.8)
     idx = np.asarray(m.indices)
     va = np.asarray(fa.valid)
@@ -179,7 +192,7 @@ def test_masked_detection_through_driver():
     mask = np.zeros((h, w), np.float32)
     mask[:, : w // 2] = 1.0  # left half only
 
-    det = make_detector(c)
+    det = _detector(c)
     det_m = make_detector(c, masked=True)
     f_all = det(jnp.asarray(img))
     f_mask = det_m(jnp.asarray(img), jnp.asarray(mask))
