@@ -102,19 +102,30 @@ def build_grad_planes(octaves, config: SiftConfig) -> GradPlanes:
         _round_up(w + 2 * radius, _LANES),
         ((w - 1) // _LANES) * _LANES + 2 * _LANES,
     )
-    rows = len(octaves) * num_levels * slab_h
-    mag = jnp.zeros((rows, wc), jnp.float32)
-    ang = jnp.zeros((rows, wc), jnp.float32)
-    for o, data in enumerate(octaves):
-        for l in range(num_levels):
-            r0 = (o * num_levels + l) * slab_h + radius
-            mag = jax.lax.dynamic_update_slice(
-                mag, data.grad[l, :, :, 0], (r0, radius)
+    # Each slab is its level's gradient plane padded into place, and the
+    # full planes are one concat along rows — every output byte is written
+    # exactly once (a zeros-init + dynamic_update_slice chain writes the
+    # 2x padded area first and then overwrites the interior; measured ~8 ms
+    # of copy/pad fusions per batch-8 dispatch).
+    def plane(ch):
+        slabs = []
+        for o, data in enumerate(octaves):
+            lo, ho, wo = (
+                data.grad.shape[0], data.grad.shape[1], data.grad.shape[2]
             )
-            ang = jax.lax.dynamic_update_slice(
-                ang, data.grad[l, :, :, 1], (r0, radius)
+            g = data.grad[..., ch]                       # (L, ho, wo)
+            g = jnp.pad(
+                g,
+                (
+                    (0, 0),
+                    (radius, slab_h - ho - radius),
+                    (radius, wc - wo - radius),
+                ),
             )
-    return GradPlanes(mag, ang, radius, slab_h, num_levels)
+            slabs.append(g.reshape(lo * slab_h, wc))
+        return jnp.concatenate(slabs, axis=0)
+
+    return GradPlanes(plane(0), plane(1), radius, slab_h, num_levels)
 
 
 def _window_starts(
@@ -198,8 +209,6 @@ def _ori_kernel(
         cm, ca = copies(slot, i)
         cm.wait()
         ca.wait()
-        mag = mag_s[slot]
-        ang = ang_s[slot]
         rx = fp_ref[0, 0, 0]          # xi - x (sub-pixel residual)
         ry = fp_ref[0, 0, 1]
         sigma_w = fp_ref[0, 0, 2]
@@ -207,14 +216,26 @@ def _ori_kernel(
         rr = fp_ref[0, 0, 4]          # tile-alignment row residual
         cr = fp_ref[0, 0, 5]
 
+        # Re-centre the keypoint's column (cr + col_lead, an integer in
+        # [col_lead, 127 + col_lead]) onto static lane CENTER with a
+        # dynamic lane roll, then compute on a single 128-lane tile — the
+        # fetched span is 2 tiles only because DMA starts are 128-aligned,
+        # so this halves every downstream VPU op.  Wrapped lanes are
+        # garbage but satisfy |off_x| > w_r (the true +-w_r window always
+        # fits around CENTER), so the `inside` mask zeroes them.
+        CENTER = 64   # >= any window radius (<= 63) and <= 127 - radius
+        c = jnp.int32(cr) + col_lead
+        mag = pltpu.roll(mag_s[slot], CENTER - c, axis=1)[:, :_LANES]
+        ang = pltpu.roll(ang_s[slot], CENTER - c, axis=1)[:, :_LANES]
+
         off_x = (
-            jax.lax.broadcasted_iota(jnp.int32, (rows, 2 * _LANES), 1).astype(
+            jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1).astype(
                 jnp.float32
             )
-            - (cr + col_lead)
+            - CENTER
         )
         off_y = (
-            jax.lax.broadcasted_iota(jnp.int32, (rows, 2 * _LANES), 0).astype(
+            jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0).astype(
                 jnp.float32
             )
             - (rr + row_lead)
@@ -389,8 +410,6 @@ def _desc_kernel(
         cm, ca = copies(slot, i)
         cm.wait()
         ca.wait()
-        mag = mag_s[slot]
-        ang = ang_s[slot]
         rx = fp_ref[0, 0, 0]
         ry = fp_ref[0, 0, 1]
         sbp = fp_ref[0, 0, 2]
@@ -401,14 +420,25 @@ def _desc_kernel(
         rr = fp_ref[0, 0, 7]          # tile-alignment residuals
         cr = fp_ref[0, 0, 8]
 
+        # Single-tile compute via dynamic lane roll (see _ori_kernel): the
+        # keypoint's integer column cr + radius lands on static lane 64,
+        # and the tent math runs on (rows, 128) instead of (rows, 256) —
+        # the 128 bin reductions below dominate this kernel, so this is a
+        # ~2x kernel-time cut.  Wrapped lanes satisfy |off_x| > w_r and
+        # are zeroed by `inside`.
+        CENTER = 64   # >= any window radius (<= 63) and <= 127 - radius
+        c = jnp.int32(cr) + radius
+        mag = pltpu.roll(mag_s[slot], CENTER - c, axis=1)[:, :_LANES]
+        ang = pltpu.roll(ang_s[slot], CENTER - c, axis=1)[:, :_LANES]
+
         off_x = (
-            jax.lax.broadcasted_iota(jnp.int32, (rows, 2 * _LANES), 1).astype(
+            jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1).astype(
                 jnp.float32
             )
-            - (cr + radius)
+            - CENTER
         )
         off_y = (
-            jax.lax.broadcasted_iota(jnp.int32, (rows, 2 * _LANES), 0).astype(
+            jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0).astype(
                 jnp.float32
             )
             - (rr + radius)
