@@ -30,7 +30,7 @@ def make_scene(h, w, seed=0):
     return scene
 
 
-def bench_slam_loop(n_frames=56, chunk=8):
+def bench_slam_loop(n_frames=56, chunk=16):
     """Full SLAM loop throughput on rendered frames: detector + two-view
     tracking + triangulation + windowed BA, driven through the chunked
     dispatch path (one compiled program + one batched fetch per chunk)."""

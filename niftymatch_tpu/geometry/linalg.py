@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.precision import f32
 
@@ -43,33 +44,46 @@ def jacobi_eigh(A: jnp.ndarray, sweeps: int = 12):
       (eigvals (..., n), eigvecs (..., n, n)) with ``A @ V = V @ diag(w)``.
       Eigenvalues are NOT sorted (use ``smallest_eigvec`` /
       ``sorted_eigh`` helpers).
+
+    Layout note (TPU): the batch is moved to the *minor* axis for the
+    rotation sweeps, so every rotation's 8 multiply-adds run on (n, B)
+    vectors with the B hypotheses across lanes.  Batch-leading (B, n, n)
+    arrays would put the length-n axes in the (8, 128) tile — <10% lane
+    utilisation at n = 9, which made the RANSAC solvers' eigensolves the
+    hottest while-loops in the SLAM chunk profile.  Callers must pass the
+    batch as real leading axes (call the fitters directly on batched
+    inputs rather than through ``vmap``) for this to take effect.
     """
     n = A.shape[-1]
-    V0 = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
+    batch_shape = A.shape[:-2]
+    Ab = jnp.moveaxis(A.reshape((-1, n, n)), 0, -1)      # (n, n, B)
+    V0 = jnp.broadcast_to(
+        jnp.eye(n, dtype=A.dtype)[..., None], Ab.shape
+    )
     pairs = [(p, q) for p in range(n - 1) for q in range(p + 1, n)]
 
     def sweep(carry, _):
         A, V = carry
         for p, q in pairs:
-            c, s = _jacobi_rotation(A[..., p, p], A[..., q, q], A[..., p, q])
-            c = c[..., None]
-            s = s[..., None]
+            c, s = _jacobi_rotation(A[p, p], A[q, q], A[p, q])  # (B,)
             # Right-multiply columns p,q of A and V by J(p,q,theta)
-            Ap, Aq = A[..., :, p], A[..., :, q]
-            A = A.at[..., :, p].set(c * Ap - s * Aq)
-            A = A.at[..., :, q].set(s * Ap + c * Aq)
+            Ap, Aq = A[:, p], A[:, q]                     # (n, B)
+            A = A.at[:, p].set(c * Ap - s * Aq)
+            A = A.at[:, q].set(s * Ap + c * Aq)
             # Left-multiply rows p,q of A by J^T
-            Rp, Rq = A[..., p, :], A[..., q, :]
-            A = A.at[..., p, :].set(c * Rp - s * Rq)
-            A = A.at[..., q, :].set(s * Rp + c * Rq)
-            Vp, Vq = V[..., :, p], V[..., :, q]
-            V = V.at[..., :, p].set(c * Vp - s * Vq)
-            V = V.at[..., :, q].set(s * Vp + c * Vq)
+            Rp, Rq = A[p], A[q]
+            A = A.at[p].set(c * Rp - s * Rq)
+            A = A.at[q].set(s * Rp + c * Rq)
+            Vp, Vq = V[:, p], V[:, q]
+            V = V.at[:, p].set(c * Vp - s * Vq)
+            V = V.at[:, q].set(s * Vp + c * Vq)
         return (A, V), None
 
-    (Af, Vf), _ = jax.lax.scan(sweep, (A, V0), None, length=sweeps)
-    w = jnp.diagonal(Af, axis1=-2, axis2=-1)
-    return w, Vf
+    (Af, Vf), _ = jax.lax.scan(sweep, (Ab, V0), None, length=sweeps)
+    w = jnp.stack([Af[i, i] for i in range(n)], axis=0)   # (n, B)
+    w = jnp.moveaxis(w, -1, 0).reshape(batch_shape + (n,))
+    V = jnp.moveaxis(Vf, -1, 0).reshape(batch_shape + (n, n))
+    return w, V
 
 
 @f32
@@ -84,16 +98,77 @@ def sorted_eigh(A: jnp.ndarray, sweeps: int = 12):
 
 
 @f32
-def smallest_eigvec(A: jnp.ndarray, sweeps: int = 12) -> jnp.ndarray:
-    """Unit eigenvector of the smallest eigenvalue of symmetric ``A``
+def smallest_eigvec(A: jnp.ndarray, iterations: int = 3) -> jnp.ndarray:
+    """Unit eigenvector of the smallest eigenvalue of symmetric PSD ``A``
     (..., n, n) -> (..., n).  This is the null-space extractor used by the
     DLT solvers, standing in for the reference's smallest-singular-vector
-    selection after ``linalg_SV_decomp_jacobi`` (``ransac.cu:178-188``)."""
-    w, V = jacobi_eigh(A, sweeps)
-    idx = jnp.argmin(w, axis=-1)
-    v = jnp.take_along_axis(V, idx[..., None, None], axis=-1)[..., 0]
-    norm = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    return v / jnp.maximum(norm, 1e-20)
+    selection after ``linalg_SV_decomp_jacobi`` (``ransac.cu:178-188``).
+
+    Implemented as inverse iteration on a *scalarised* batched Cholesky
+    factorisation: every operand is a full batch-shaped array (the n x n
+    structure is unrolled into Python lists), so the whole solve is ~500
+    elementwise vector ops regardless of layout or vmap nesting.  The
+    full cyclic-Jacobi path (``jacobi_eigh``: 12 sweeps x n(n-1)/2
+    rotations of indexed row/column updates) cost ~8x more as the inner
+    loop of the RANSAC solvers — and inverse iteration is *better*
+    conditioned for this use: DLT normal matrices from minimal samples
+    have an exact null space, so the n-th eigencomponent is amplified by
+    ~(lambda_{n-1}/jitter) per iteration and one iteration is already
+    converged; ``iterations=3`` covers heavily-weighted refits too.
+    """
+    n = A.shape[-1]
+    a = [[A[..., i, j] for j in range(n)] for i in range(n)]
+    # Relative jitter keeps the factorisation finite on exactly-singular
+    # systems; the null vector is then the eigenvector of eigenvalue
+    # `eps`, which inverse iteration amplifies hardest.
+    tr = sum(a[i][i] for i in range(n)) / n
+    eps = 1e-6 * tr + 1e-30
+    for i in range(n):
+        a[i][i] = a[i][i] + eps
+
+    L = [[None] * n for _ in range(n)]
+    inv_d = [None] * n
+    for j in range(n):
+        s = a[j][j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(jnp.maximum(s, 1e-30))
+        L[j][j] = d
+        inv_d[j] = 1.0 / d
+        for i in range(j + 1, n):
+            s2 = a[i][j]
+            for k in range(j):
+                s2 = s2 - L[i][k] * L[j][k]
+            L[i][j] = s2 * inv_d[j]
+
+    def solve(b):
+        y = [None] * n
+        for i in range(n):
+            s = b[i]
+            for k in range(i):
+                s = s - L[i][k] * y[k]
+            y[i] = s * inv_d[i]
+        x = [None] * n
+        for i in reversed(range(n)):
+            s = y[i]
+            for k in range(i + 1, n):
+                s = s - L[k][i] * x[k]
+            x[i] = s * inv_d[i]
+        return x
+
+    # Deterministic dense start vector (a fixed unit vector could be
+    # orthogonal to a particular null space; a fixed generic one is not).
+    seed = np.random.default_rng(12345).normal(size=n).astype(np.float32)
+    seed /= np.linalg.norm(seed)
+    batch_shape = A.shape[:-2]
+    x = [jnp.broadcast_to(jnp.asarray(v, A.dtype), batch_shape)
+         for v in seed]
+    for _ in range(iterations):
+        x = solve(x)
+        norm = jnp.sqrt(sum(xi * xi for xi in x))
+        inv_n = 1.0 / jnp.maximum(norm, 1e-30)
+        x = [xi * inv_n for xi in x]
+    return jnp.stack(x, axis=-1)
 
 
 @f32

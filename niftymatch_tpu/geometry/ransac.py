@@ -173,13 +173,19 @@ def ransac(
         live = jnp.repeat(live, 10) & cand_valid.reshape(-1)
     else:
         fitter = _FITTERS[model]
-        models = jax.vmap(fitter)(
+        # Direct batched call (the fitters are batch-polymorphic) rather
+        # than vmap: the hypothesis batch then reaches the small-matrix
+        # eigensolves as a REAL leading axis, which jacobi_eigh lays out
+        # across vector lanes (see its layout note) — under vmap the batch
+        # is virtual and the 9x9s land in the lane tile at <10%
+        # utilisation.
+        models = fitter(
             jnp.broadcast_to(src, (config.iterations, *src.shape)),
             jnp.broadcast_to(dst, (config.iterations, *dst.shape)),
             weights,
         )  # (I, 3, 3)
 
-    errs = jax.vmap(lambda m: err_fn(m, src, dst))(models)  # (I[*10], N)
+    errs = err_fn(models, src[None], dst[None])  # (I[*10], N)
     tau = config.inlier_threshold
     is_inlier = (errs < tau) & mask[None, :]
     # Hypothesis scoring.  For the 2-D transfer-error models the winner is
