@@ -149,10 +149,15 @@ def main():
             ba_window=4,
         )
     )
+    # First two chunks compile the fused chunk program (minutes on a cold
+    # compile cache); time steady-state throughput on the remainder.
+    warm = min(2 * args.chunk + 1, max(n - args.chunk, 1))
+    infos = slam.process_frames(frames[:warm].astype(np.uint8))
     start = time.perf_counter()
-    infos = slam.process_frames(frames.astype(np.uint8))
+    infos += slam.process_frames(frames[warm:].astype(np.uint8))
     traj = slam.trajectory()  # flushes BA; (K, 3) camera centers
     elapsed = time.perf_counter() - start
+    timed_frames = n - warm
 
     kept = [i for i, info in enumerate(infos) if info["keyframe"]]
     assert len(kept) == traj.shape[0], (len(kept), traj.shape)
@@ -174,7 +179,7 @@ def main():
         "rpe_rmse": round(rpe_rmse(est, gt), 6),
         "gt_extent": round(float(np.linalg.norm(gt.max(0) - gt.min(0))), 4),
         "wall_s": round(elapsed, 2),
-        "frames_per_s": round(n / elapsed, 2),
+        "frames_per_s": round(timed_frames / max(elapsed, 1e-9), 2),
     }
     result["ate_pct_of_extent"] = round(
         100.0 * result["ate_rmse_sim3"] / max(result["gt_extent"], 1e-9), 3

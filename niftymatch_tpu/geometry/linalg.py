@@ -98,7 +98,7 @@ def sorted_eigh(A: jnp.ndarray, sweeps: int = 12):
 
 
 @f32
-def smallest_eigvec(A: jnp.ndarray, iterations: int = 3) -> jnp.ndarray:
+def smallest_eigvec(A: jnp.ndarray, iterations: int = 8) -> jnp.ndarray:
     """Unit eigenvector of the smallest eigenvalue of symmetric PSD ``A``
     (..., n, n) -> (..., n).  This is the null-space extractor used by the
     DLT solvers, standing in for the reference's smallest-singular-vector
@@ -114,7 +114,11 @@ def smallest_eigvec(A: jnp.ndarray, iterations: int = 3) -> jnp.ndarray:
     conditioned for this use: DLT normal matrices from minimal samples
     have an exact null space, so the n-th eigencomponent is amplified by
     ~(lambda_{n-1}/jitter) per iteration and one iteration is already
-    converged; ``iterations=3`` covers heavily-weighted refits too.
+    converged.  Noisy least-squares systems (triangulation, weighted
+    refits) have a finite eigen-gap — ratios up to ~0.3 need ~8
+    iterations for <1e-5 alignment error (measured), which is still ~3x
+    cheaper than the Jacobi sweeps and was the accuracy floor of the
+    golden-clip ATE when set lower.
     """
     n = A.shape[-1]
     a = [[A[..., i, j] for j in range(n)] for i in range(n)]
