@@ -80,17 +80,48 @@ class SlamConfig:
     chunk_size: int = 8
 
 
-@dataclasses.dataclass
 class Keyframe:
-    index: int
-    feats: Features                 # device
-    pose: jnp.ndarray               # (3, 4) world->cam, device
-    track_ids: np.ndarray           # (N,) int64 host; -1 = no track
-    # Host mirrors of the (immutable) keypoint coords — populated lazily or
-    # from an already-batched fetch so window assembly never re-crosses the
-    # device boundary.
-    host_x: np.ndarray = None
-    host_y: np.ndarray = None
+    """One SLAM keyframe.
+
+    ``feats`` may be LAZY: chunk-produced keyframes hold a
+    ``(take_fn, batch_feats, i)`` thunk and materialise the device slice
+    only on first access.  In the steady state only the chunk's LAST
+    accepted keyframe is ever consumed (as the next chunk's match
+    anchor), so the per-frame slicing dispatches — each a full tunnel
+    round-trip of launch overhead, ~3 ms/frame measured — are skipped
+    for the rest.  ``pose`` is a host (3, 4) array for chunk-produced
+    keyframes (it rides the chunk's batched fetch) and a device array on
+    the per-frame / BA-output paths; both are valid jit arguments.
+    """
+
+    def __init__(
+        self,
+        index: int,
+        feats: Features | None = None,
+        pose=None,
+        track_ids: np.ndarray = None,
+        host_x: np.ndarray = None,
+        host_y: np.ndarray = None,
+        lazy_feats: tuple | None = None,
+    ):
+        self.index = index
+        self._feats = feats
+        self._lazy_feats = lazy_feats
+        self.pose = pose
+        self.track_ids = track_ids
+        # Host mirrors of the (immutable) keypoint coords — populated
+        # lazily or from an already-batched fetch so window assembly never
+        # re-crosses the device boundary.
+        self.host_x = host_x
+        self.host_y = host_y
+
+    @property
+    def feats(self) -> Features:
+        if self._feats is None and self._lazy_feats is not None:
+            take, batch, i = self._lazy_feats
+            self._feats = take(batch, i)
+            self._lazy_feats = None
+        return self._feats
 
     def ensure_host_coords(self):
         if self.host_x is None:
@@ -223,6 +254,9 @@ class SlamSystem:
             lambda fb, poses, i: (
                 jax.tree.map(lambda a: a[i], fb), poses[i]
             )
+        )
+        self._take_feats = jax.jit(
+            lambda fb, i: jax.tree.map(lambda a: a[i], fb)
         )
         # In-flight windowed-BA landmark update, harvested (one batched
         # fetch) at the start of the next frame.
@@ -363,13 +397,14 @@ class SlamSystem:
                 outs.points_valid,
                 feats_b.x,
                 feats_b.y,
+                outs.pose,
             )
             + ((pending[0],) if pending is not None else ())
         )
         if pending is not None:
             active = pending[2]
-            self.track_positions[active] = host[8][: len(active)]
-        acc, ninl, m_idx, inl, pts_w, valid_w, xs, ys = host[:8]
+            self.track_positions[active] = host[9][: len(active)]
+        acc, ninl, m_idx, inl, pts_w, valid_w, xs, ys, poses_h = host[:9]
         results: List[dict] = []
         for i in range(n_real):
             if not bool(acc[i]):
@@ -396,11 +431,14 @@ class SlamSystem:
                 continue
             self._misses = 0
             last = self.keyframes[-1]
-            feats_i, pose_i = self._take_frame(feats_b, outs.pose, i)
+            # No per-frame device work here: the pose rides the batched
+            # fetch above (48 bytes), and the feature slice is a lazy thunk
+            # that only the chunk's last keyframe (the next chunk's match
+            # anchor) ever materialises.
             kf = Keyframe(
                 index=len(self.keyframes),
-                feats=feats_i,
-                pose=pose_i,
+                lazy_feats=(self._take_feats, feats_b, i),
+                pose=poses_h[i],
                 track_ids=np.full((xs.shape[1],), -1, np.int64),
                 host_x=xs[i],
                 host_y=ys[i],
@@ -807,6 +845,96 @@ class SlamSystem:
             for k, kf in enumerate(self.keyframes):
                 kf.pose = jnp.asarray(poses[k])
         return accepted
+
+    def global_ba(
+        self,
+        ba_config: BAConfig | None = None,
+        use_cg: bool | None = None,
+        max_landmarks: int | None = None,
+    ) -> bool:
+        """Final full-trajectory bundle adjustment over ALL keyframes and
+        their tracks (the global-BA stage of BASELINE configs 3-5; the
+        per-frame loop only ever solves the trailing ``ba_window``).
+
+        Solver selection: the dense Schur solver for small problems, the
+        matrix-free Schur-PCG (``sfm.ba_cg``) when the dense (C, L, 6, 3)
+        camera-landmark coupling block would be memory-prohibitive.
+        Problem shapes are padded to power-of-two buckets so repeated
+        finalisation calls reuse the compile.
+
+        This is a finalisation pass, not per-frame work: one dispatch and
+        one blocking fetch.  The solve is applied only if it lowers the
+        robust cost; returns True when applied."""
+        self.flush_ba()
+        K = len(self.keyframes)
+        if K < 3:
+            return False
+        cfg = self.config
+        ids = np.stack([kf.track_ids for kf in self.keyframes])  # (K, N)
+        has = ids >= 0
+        if not has.any():
+            return False
+        counts = np.bincount(ids[has], minlength=cfg.max_tracks)
+        active = np.nonzero(counts >= 2)[0]
+        if len(active) < 8:
+            return False
+        if max_landmarks is not None and len(active) > max_landmarks:
+            order = np.argsort(-counts[active], kind="stable")
+            active = np.sort(active[order[:max_landmarks]])
+        lmap = np.full(cfg.max_tracks, -1, np.int64)
+        lmap[active] = np.arange(len(active))
+        for kf in self.keyframes:
+            kf.ensure_host_coords()
+        xs = np.stack([kf.host_x for kf in self.keyframes])
+        ys = np.stack([kf.host_y for kf in self.keyframes])
+        local = np.where(has, lmap[np.maximum(ids, 0)], -1)
+        ci, si = np.nonzero(local >= 0)
+        O, L = len(ci), len(active)
+        if O < 16:
+            return False
+        O_cap = 1 << int(np.ceil(np.log2(max(O, 1024))))
+        L_cap = 1 << int(np.ceil(np.log2(max(L, 256))))
+        obs_uv = np.zeros((O_cap, 2), np.float32)
+        obs_uv[:O, 0] = xs[ci, si]
+        obs_uv[:O, 1] = ys[ci, si]
+        obs_cam = np.zeros(O_cap, np.int32)
+        obs_cam[:O] = ci
+        obs_lm = np.zeros(O_cap, np.int32)
+        obs_lm[:O] = local[ci, si]
+        valid = np.zeros(O_cap, bool)
+        valid[:O] = True
+        lms = np.zeros((L_cap, 3), np.float32)
+        lms[:L] = self.track_positions[active]
+        fixed = np.zeros(K, bool)
+        fixed[: min(2, K)] = True  # pin the 7-DoF monocular gauge
+        problem = BAProblem(
+            poses=jnp.stack([kf.pose for kf in self.keyframes]),
+            landmarks=jnp.asarray(lms),
+            intrinsics=jnp.asarray(np.asarray(cfg.intrinsics, np.float32)),
+            obs_uv=jnp.asarray(obs_uv),
+            obs_cam=jnp.asarray(obs_cam),
+            obs_lm=jnp.asarray(obs_lm),
+            obs_valid=jnp.asarray(valid),
+            pose_fixed=jnp.asarray(fixed),
+        )
+        ba_cfg = ba_config or dataclasses.replace(cfg.ba, max_iterations=12)
+        if use_cg is None:
+            # Dense Schur materialises the (C, L, 6, 3) coupling block.
+            use_cg = K * L_cap * 18 > (1 << 27)
+        if use_cg:
+            from ..sfm.ba_cg import bundle_adjust_cg as solver
+        else:
+            solver = bundle_adjust
+        solved, stats = jax.jit(partial(solver, config=ba_cfg))(problem)
+        poses_h, lms_h, c0, c1 = jax.device_get(
+            (solved.poses, solved.landmarks, stats.initial_cost, stats.final_cost)
+        )
+        if not (float(c1) <= float(c0)):
+            return False
+        for k, kf in enumerate(self.keyframes):
+            kf.pose = jnp.asarray(poses_h[k])
+        self.track_positions[active] = lms_h[:L]
+        return True
 
     def run_windowed_ba(self, block: bool = False) -> bool:
         """Optimize the last ``ba_window`` keyframes + their tracks.

@@ -183,3 +183,22 @@ def test_slam_chunked_matches_per_frame():
     )
     for a, b in zip(slam_chk.keyframes, slam_seq.keyframes):
         np.testing.assert_array_equal(a.track_ids, b.track_ids)
+
+
+def test_slam_global_ba_improves_or_holds():
+    """Final full-trajectory BA (SlamSystem.global_ba) must lower the
+    robust cost and not degrade a VO-only trajectory; the matrix-free
+    Schur-PCG path must agree with the dense solver's interface."""
+    scene, slam, _ = _run_slam(seed=1, ba_every=10_000)  # VO only, no BA
+    gt = np.asarray(camera_center(jnp.asarray(scene.poses)))
+    ate_vo = ate_rmse(slam.trajectory(), gt)
+    assert slam.global_ba()
+    ate_gba = ate_rmse(slam.trajectory(), gt)
+    scale = np.linalg.norm(gt - gt.mean(0), axis=1).mean()
+    assert ate_gba <= max(ate_vo * 1.05, 0.02 * scale), (ate_gba, ate_vo)
+
+    # The PCG path is a drop-in (returns False when already at a local
+    # minimum — it must never *raise* or corrupt state).
+    slam.global_ba(use_cg=True)
+    ate_cg = ate_rmse(slam.trajectory(), gt)
+    assert np.isfinite(ate_cg) and ate_cg <= max(ate_gba * 1.5, 0.02 * scale)
