@@ -6,17 +6,27 @@ test (``match.cu:82-117``).  The jnp oracle (``ops/match.py``) already
 removes the transposes; this kernel removes the materialisation too:
 
   for each A-tile (grid dim 0), sweep B-tiles (grid dim 1, fastest):
-      D_tile = ||a||^2 + ||b||^2 - 2 a.b        (one MXU dot per tile)
-      fold D_tile into a running per-row (min1, argmin1, min2) in VMEM
+      for each row-chunk of the A-tile (in-kernel loop):
+          D_chunk = bnorm - 2 a.b         (one MXU dot per chunk)
+          fold D_chunk into a running per-row (min1, argmin1, min2)
 
-HBM traffic drops from O(M*N) distances written+read to O(M + N) descriptor
-reads per tile pair — the kernel is MXU-bound, which is speed-of-light for
-this op.  Accumulator scratch persists across the sequential TPU grid.
-Default tiles (256, 2048) measure 166 TF/s = 84% of bf16 MXU peak on v5e at
-4096x4096x128 (the narrow A-tile maximises B reuse per sweep).
+``||a||^2`` is constant along each row so it cannot change any row's argmin
+or ordering; it is added back outside the kernel (exactly), which removes a
+broadcast add from the hot loop.  B-column validity and padding are folded
+into the precomputed fp32 ``bnorm`` vector as ``+MASKVAL`` — no mask
+``where`` in the hot loop either.
 
-Semantics match ``ops.match.top2_min`` exactly: ties resolve to the lowest
-column index; min2 is the smallest distance at any *other* column.
+HBM traffic is the design target (this is what limits large sweeps, see
+``match.cu:13-80`` whose CHUNK tiling existed to reuse B):
+  A read once; B re-streamed ceil(M/TM) times.  TM grows with N (up to
+  4096), so at 32k x 32k the B re-stream is 8 passes instead of 128, and
+  bf16 descriptor storage halves the bytes of each pass.  The in-kernel
+  row-chunk loop (MC rows at a time) keeps the live distance tile at
+  MC x TN f32 regardless of TM, so TM is VMEM-cheap.
+
+Accumulator scratch persists across the sequential TPU grid.  Semantics
+match ``ops.match.top2_min`` exactly: ties resolve to the lowest column
+index; min2 is the smallest distance at any *other* column.
 """
 
 from __future__ import annotations
@@ -30,23 +40,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.match import MatchResult
 
-_BIG = 3.4e38  # +inf surrogate that survives arithmetic (Python float so
-               # the kernel doesn't capture a traced constant)
+_BIG = 3.4e38    # +inf surrogate for accumulator init (survives arithmetic)
+_MASKVAL = 1e30  # folded into bnorm for invalid/padded columns
+_NOVALID = 1e29  # min1 above this => the row saw no valid B column
 
 
 def _match_kernel(
-    a_ref,        # (TM, D) A-descriptor tile
-    b_ref,        # (TN, D) B-descriptor tile
-    bvalid_ref,   # (1, TN) 1.0/0.0 B-column validity
-    min1_ref,     # (TM, 1) out
-    idx1_ref,     # (TM, 1) out int32
-    min2_ref,     # (TM, 1) out
-    m1_s,         # (TM, 1) scratch f32
-    i1_s,         # (TM, 1) scratch i32
-    m2_s,         # (TM, 1) scratch f32
+    a_ref,        # (TM, D)  A tile, pre-scaled by -2 (bf16 or f32)
+    b_ref,        # (TN, D)  B tile (bf16 or f32)
+    bnorm_ref,    # (1, TN)  f32 ||b||^2, +MASKVAL where invalid/padded
+    min1_ref,     # (1, 1, TM) out f32 (excludes ||a||^2)
+    idx1_ref,     # (1, 1, TM) out int32
+    min2_ref,     # (1, 1, TM) out f32 (excludes ||a||^2)
+    m1_s,         # (MC, NC) scratch f32   — lane-packed per-chunk columns
+    i1_s,         # (MC, NC) scratch i32     (a (TM,1)-shaped buffer would
+    m2_s,         # (MC, NC) scratch f32      be lane-padded 128x in VMEM)
     *,
-    bf16: bool,
     tn: int,
+    mc: int,
+    nc: int,
 ):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -57,53 +69,44 @@ def _match_kernel(
         i1_s[:] = jnp.full_like(i1_s, -1)
         m2_s[:] = jnp.full_like(m2_s, _BIG)
 
-    a = a_ref[:]
     b = b_ref[:]
-    if bf16:
+    bnorm = bnorm_ref[:]
+
+    for c in range(nc):  # static chunk count: unrolled, static slices
+        a = a_ref[c * mc:(c + 1) * mc, :]                    # (MC, D)
         ab = jax.lax.dot_general(
-            a.astype(jnp.bfloat16),
-            b.astype(jnp.bfloat16),
+            a, b,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-    else:
-        ab = jax.lax.dot_general(
-            a,
-            b,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    a_norm = jnp.sum(a * a, axis=-1, keepdims=True)          # (TM, 1)
-    b_norm = jnp.sum(b * b, axis=-1)[None, :]                # (1, TN)
-    d = jnp.maximum(a_norm + b_norm - 2.0 * ab, 0.0)         # (TM, TN)
-    d = jnp.where(bvalid_ref[:] > 0.5, d, _BIG)
+        )                                                    # (MC, TN) = -2 a.b
+        d = ab + bnorm                                       # ||b||^2 - 2 a.b
 
-    # Per-row top-2 within the tile (ties -> lowest column).
-    t1 = jnp.min(d, axis=-1, keepdims=True)                  # (TM, 1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-    is_min = d == t1
-    first_min_col = jnp.min(
-        jnp.where(is_min, cols, jnp.int32(2**30)), axis=-1, keepdims=True
-    )
-    ti1 = first_min_col + j * tn                             # global index
-    d2 = jnp.where(cols == first_min_col, _BIG, d)
-    t2 = jnp.min(d2, axis=-1, keepdims=True)
+        # Per-row top-2 within the chunk (ties -> lowest column).
+        t1 = jnp.min(d, axis=-1, keepdims=True)              # (MC, 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        is_min = d == t1
+        first_min_col = jnp.min(
+            jnp.where(is_min, cols, jnp.int32(2**30)), axis=-1, keepdims=True
+        )
+        ti1 = first_min_col + j * tn                         # global index
+        d2 = jnp.where(cols == first_min_col, _BIG, d)
+        t2 = jnp.min(d2, axis=-1, keepdims=True)
 
-    # Merge tile top-2 into the running top-2 (branchless).
-    m1, i1, m2 = m1_s[:], i1_s[:], m2_s[:]
-    better = t1 < m1
-    new1 = jnp.where(better, t1, m1)
-    newi = jnp.where(better, ti1, i1)
-    new2 = jnp.where(better, jnp.minimum(m1, t2), jnp.minimum(m2, t1))
-    m1_s[:] = new1
-    i1_s[:] = newi
-    m2_s[:] = new2
+        # Merge chunk top-2 into the running top-2 (branchless).
+        m1, i1, m2 = m1_s[:, c:c+1], i1_s[:, c:c+1], m2_s[:, c:c+1]
+        better = t1 < m1
+        m1_s[:, c:c+1] = jnp.where(better, t1, m1)
+        i1_s[:, c:c+1] = jnp.where(better, ti1, i1)
+        m2_s[:, c:c+1] = jnp.where(
+            better, jnp.minimum(m1, t2), jnp.minimum(m2, t1))
 
     @pl.when(j == nj - 1)
     def _flush():
-        min1_ref[:] = m1_s[:]
-        idx1_ref[:] = i1_s[:]
-        min2_ref[:] = m2_s[:]
+        for c in range(nc):
+            sl = slice(c * mc, (c + 1) * mc)
+            min1_ref[0, 0:1, sl] = m1_s[:, c:c+1].T
+            idx1_ref[0, 0:1, sl] = i1_s[:, c:c+1].T
+            min2_ref[0, 0:1, sl] = m2_s[:, c:c+1].T
 
 
 def _pad_to(x: jnp.ndarray, size: int, axis: int, value):
@@ -115,37 +118,57 @@ def _pad_to(x: jnp.ndarray, size: int, axis: int, value):
     return jnp.pad(x, widths, constant_values=value)
 
 
-@partial(
-    jax.jit, static_argnames=("tm", "tn", "bf16", "interpret")
-)
-def fused_match_topk(
-    desc_a: jnp.ndarray,
-    desc_b: jnp.ndarray,
-    b_valid: jnp.ndarray | None = None,
-    tm: int = 256,
-    tn: int = 2048,
-    bf16: bool = False,
-    interpret: bool = False,
-):
-    """Per-A-row (min1, argmin1, min2) squared-L2 against all B rows.
+def _round_up(x: int, q: int) -> int:
+    return -(-x // q) * q
 
-    Returns (min1 (M,), idx1 (M,) int32, min2 (M,)); invalid B columns are
-    excluded.  Rows whose min1 is the +inf surrogate had no valid B at all.
+
+def select_tiles(m: int, n: int, bf16: bool) -> tuple[int, int, int]:
+    """Shape-adaptive (tm, tn, mc), tuned on a v5e chip (see
+    ``benchmarks/match_sweep.py``; MATCH_r03.json records the sweep).
+
+    B is re-streamed ceil(M/TM) times, so TM is large (8192 bf16 / 4096
+    fp32 — VMEM-bound); the in-kernel row-chunk loop keeps the live
+    distance tile at MC x TN f32 regardless of TM.  Measured at
+    32k x 32k x 128 bf16: (8192, 1024, 256) -> 143 TF/s = 73% of the
+    197 TF/s MXU peak; wider TN or MC=512 lose ~15% (top-2 fold VPU
+    pressure), TM=256 (round-2 default) loses 4x to B re-streaming.
     """
-    m, d = desc_a.shape
-    n = desc_b.shape[0]
-    if b_valid is None:
-        b_valid = jnp.ones((n,), bool)
+    cap = 8192 if bf16 else 4096
+    tm = min(_round_up(m, 256), cap)
+    tn = min(_round_up(n, 256), 1024)
+    mc = min(256, tm)
+    return tm, tn, mc
 
-    mp = -(-m // tm) * tm
-    np_ = -(-n // tn) * tn
-    a = _pad_to(desc_a.astype(jnp.float32), mp, 0, 0.0)
-    b = _pad_to(desc_b.astype(jnp.float32), np_, 0, 0.0)
-    bv = _pad_to(b_valid.astype(jnp.float32)[None, :], np_, 1, 0.0)
+
+@partial(jax.jit, static_argnames=("bf16",))
+def prepare_descriptors(desc: jnp.ndarray, bf16: bool = True):
+    """One-time per-descriptor-set preparation for repeated matching.
+
+    Returns ``(neg2, mat, norm)``: the A-role operand (``-2 x`` cast),
+    the B-role operand (plain cast), and fp32 squared norms.  In a K^2
+    sweep every keyframe plays both roles many times; preparing once
+    moves the cast/norm passes out of the per-pair path (they are ~5% of
+    kernel time at 32k, pure overhead when repeated)."""
+    cdtype = jnp.bfloat16 if bf16 else jnp.float32
+    d32 = desc.astype(jnp.float32)
+    norm = jnp.sum(d32 * d32, axis=-1)
+    return (-2.0 * d32).astype(cdtype), d32.astype(cdtype), norm
+
+
+def _fused_call(a, b, bn, a_norm, m, tm, tn, mc, interpret):
+    """Core pallas invocation on prepared operands (a pre-scaled by -2,
+    bn masked with +_MASKVAL on invalid columns)."""
+    d = a.shape[1]
+    nc = tm // mc
+    mp = _round_up(a.shape[0], tm)
+    np_ = _round_up(b.shape[0], tn)
+    a = _pad_to(a, mp, 0, 0.0)
+    b = _pad_to(b, np_, 0, 0.0)
+    bn = _pad_to(bn, np_, 1, _MASKVAL)
 
     grid = (mp // tm, np_ // tn)
     min1, idx1, min2 = pl.pallas_call(
-        partial(_match_kernel, bf16=bf16, tn=tn),
+        partial(_match_kernel, tn=tn, mc=mc, nc=nc),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tm, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -153,28 +176,107 @@ def fused_match_topk(
             pl.BlockSpec((1, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tm), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tm), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tm), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((mp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((mp, 1), jnp.int32),
-            jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((mp // tm, 1, tm), jnp.float32),
+            jax.ShapeDtypeStruct((mp // tm, 1, tm), jnp.int32),
+            jax.ShapeDtypeStruct((mp // tm, 1, tm), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((tm, 1), jnp.float32),
-            pltpu.VMEM((tm, 1), jnp.int32),
-            pltpu.VMEM((tm, 1), jnp.float32),
+            pltpu.VMEM((mc, nc), jnp.float32),
+            pltpu.VMEM((mc, nc), jnp.int32),
+            pltpu.VMEM((mc, nc), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * np_ * d,
-            bytes_accessed=4 * (mp * d + np_ * d * grid[0] + 3 * mp),
+            bytes_accessed=(mp * d + np_ * d * grid[0]) * a.dtype.itemsize
+            + 4 * np_ * grid[0]
+            + 12 * mp,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(a, b, bv)
-    return min1[:m, 0], idx1[:m, 0], min2[:m, 0]
+    )(a, b, bn)
+    min1 = min1.reshape(mp)
+    idx1 = idx1.reshape(mp)
+    min2 = min2.reshape(mp)
+
+    # Add ||a||^2 back (constant per row: cannot change argmin/ordering),
+    # clamp fp rounding below zero.  No-valid rows stay above _NOVALID
+    # because _MASKVAL dwarfs any real norm.
+    min1 = jnp.maximum(min1[:m] + a_norm, 0.0)
+    min2 = jnp.maximum(min2[:m] + a_norm, 0.0)
+    return min1, idx1[:m], min2
+
+
+@partial(
+    jax.jit, static_argnames=("tm", "tn", "mc", "bf16", "interpret")
+)
+def fused_match_topk(
+    desc_a: jnp.ndarray,
+    desc_b: jnp.ndarray,
+    b_valid: jnp.ndarray | None = None,
+    tm: int | None = None,
+    tn: int | None = None,
+    mc: int | None = None,
+    bf16: bool = False,
+    interpret: bool = False,
+):
+    """Per-A-row (min1, argmin1, min2) squared-L2 against all B rows.
+
+    Returns (min1 (M,), idx1 (M,) int32, min2 (M,)); invalid B columns are
+    excluded.  Rows with min1 >= the no-valid threshold (~1e29) had no
+    valid B at all.  With ``bf16=True`` descriptors are stored and
+    multiplied in bfloat16 (norms stay fp32) — half the HBM bytes.
+    """
+    m, d = desc_a.shape
+    n = desc_b.shape[0]
+
+    atm, atn, amc = select_tiles(m, n, bf16)
+    tm = atm if tm is None else tm
+    tn = atn if tn is None else tn
+    mc = min(tm, amc if mc is None else mc)
+    assert tm % mc == 0
+
+    a_neg2, _, a_norm = prepare_descriptors(desc_a, bf16=bf16)
+    _, b_mat, b_norm = prepare_descriptors(desc_b, bf16=bf16)
+    if b_valid is not None:
+        b_norm = jnp.where(b_valid, b_norm, _MASKVAL)
+    return _fused_call(a_neg2, b_mat, b_norm[None, :], a_norm, m,
+                       tm, tn, mc, interpret)
+
+
+@partial(
+    jax.jit, static_argnames=("tm", "tn", "mc", "interpret")
+)
+def fused_match_topk_prepared(
+    prep_a,
+    prep_b,
+    b_valid: jnp.ndarray | None = None,
+    tm: int | None = None,
+    tn: int | None = None,
+    mc: int | None = None,
+    interpret: bool = False,
+):
+    """``fused_match_topk`` on ``prepare_descriptors`` outputs — the
+    per-pair fast path for K^2 sweeps (no cast/norm passes per call)."""
+    a_neg2, _, a_norm = prep_a
+    _, b_mat, b_norm = prep_b
+    m = a_neg2.shape[0]
+    bf16 = a_neg2.dtype == jnp.bfloat16
+    atm, atn, amc = select_tiles(m, b_mat.shape[0], bf16)
+    tm = atm if tm is None else tm
+    tn = atn if tn is None else tn
+    mc = min(tm, amc if mc is None else mc)
+    if b_valid is not None:
+        b_norm = jnp.where(b_valid, b_norm, _MASKVAL)
+    return _fused_call(a_neg2, b_mat, b_norm[None, :], a_norm, m,
+                       tm, tn, mc, interpret)
 
 
 def match_descriptors_pallas(
@@ -195,7 +297,7 @@ def match_descriptors_pallas(
         bf16=(precision == "bf16"),
         interpret=interpret,
     )
-    had_valid = min1 < _BIG
+    had_valid = min1 < _NOVALID
     ratio = min1 / jnp.where(min2 > 0.0, min2, 1.0)
     # Same acceptance rule as the jnp oracle (ops/match.py): min2 > 0 and
     # ratio below threshold; a lone valid candidate (min2 at the +inf

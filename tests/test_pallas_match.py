@@ -85,3 +85,47 @@ def test_fused_topk_single_tile_and_ragged(rng):
     np.testing.assert_allclose(np.asarray(min1), np.asarray(o1), atol=1e-4)
     np.testing.assert_allclose(np.asarray(min2), np.asarray(o2), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(idx1), np.asarray(oi))
+
+
+# --- TPU-hardware tests (real compiled kernel, not interpret mode) ------
+import jax
+
+requires_tpu = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="needs a real TPU (run with NIFTYMATCH_TEST_TPU=1)",
+)
+
+
+@requires_tpu
+def test_fused_topk_hardware_fp32_vs_oracle(rng):
+    """The compiled kernel with production (shape-adaptive) tiles must
+    agree with the jnp oracle on hardware — fp32 path, ragged sizes."""
+    a, b = _descs(rng, 3000, 5000)
+    min1, idx1, min2 = fused_match_topk(jnp.asarray(a), jnp.asarray(b))
+    d = pairwise_sq_distances(jnp.asarray(a), jnp.asarray(b))
+    o1, oi, o2 = top2_min(d)
+    np.testing.assert_allclose(np.asarray(min1), np.asarray(o1),
+                               atol=2e-3, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(min2), np.asarray(o2),
+                               atol=2e-3, rtol=1e-5)
+    gap = np.asarray(o2) - np.asarray(o1)
+    unique = gap > 1e-3
+    np.testing.assert_array_equal(np.asarray(idx1)[unique],
+                                  np.asarray(oi)[unique])
+
+
+@requires_tpu
+def test_fused_topk_hardware_bf16_index_agreement(rng):
+    """bf16 fast path: indices must agree with the oracle wherever the
+    top-2 gap clears the bf16 noise floor (relative ~2^-7 of magnitude)."""
+    a, b = _descs(rng, 4096, 4096)
+    min1, idx1, min2 = fused_match_topk(jnp.asarray(a), jnp.asarray(b),
+                                        bf16=True)
+    d = pairwise_sq_distances(jnp.asarray(a), jnp.asarray(b))
+    o1, oi, o2 = top2_min(d)
+    o1n, o2n = np.asarray(o1), np.asarray(o2)
+    clear = (o2n - o1n) > 2e-2 * np.maximum(np.abs(o1n), np.abs(o2n))
+    agree = np.mean(np.asarray(idx1)[clear] == np.asarray(oi)[clear])
+    assert agree > 0.999, f"bf16 index agreement {agree:.4f}"
+    np.testing.assert_allclose(np.asarray(min1), o1n,
+                               rtol=0.05, atol=0.5)
