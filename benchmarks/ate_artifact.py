@@ -4,21 +4,32 @@ the COMPLETE dataset pipeline, producing a tracked accuracy number.
 This is the round-level accuracy evidence for the BASELINE north star (ATE
 RMSE, configs 2-4): since the real TUM/EuRoC datasets cannot be downloaded in
 this environment (zero egress), we commit a deterministic generator instead —
-the same rendered-constellation scene used across the test suite, written to
-disk as a real TUM-layout directory (PNGs + rgb.txt + groundtruth.txt) and
-then ingested exactly the way ``benchmarks/tum_eval.py`` ingests a real
-sequence:
+a rendered-constellation CLOSED-LOOP orbit, written to disk as a real
+TUM-layout directory (PNGs + rgb.txt + groundtruth.txt) and then ingested
+exactly the way ``benchmarks/tum_eval.py`` ingests a real sequence:
 
     pure-Python PNG encode -> native C++ prefetch decode -> SIFT detect
     -> match -> E/H-RANSAC -> scale propagation -> windowed BA
-    -> Sim(3)-aligned ATE against ground truth
+    -> LOOP CLOSURE (all-pairs sweep -> pose graph)  [BASELINE config 4]
+    -> global bundle adjustment
+    -> Sim(3)-aligned ATE / RPE against ground truth
 
-Writes ``ATE_r{N}.json`` at the repo root (one JSON object, see bottom).
-If a real TUM sequence is available, pass ``--root`` and the clip generator
-is skipped (intrinsics then come from --fx/--fy/--cx/--cy as in tum_eval).
+Two variants are recorded (ATE_r{N}.json):
+
+- ``standard``: 96-frame closed loop, the same chunked configuration the
+  throughput bench uses — ONE workload provides both the accuracy and the
+  >= 30 kf/s throughput number.
+- ``hard``: 200-frame closed loop with exposure drift (gain/bias ramp,
+  +/-25%) and two 3-frame defocus-blur gaps (relocalization must bridge
+  them), plus a per-frame ground-truth-consistency metric for detector/
+  descriptor repeatability.
+
+ATE is reported at three stages: pre-closure (VO + windowed BA), post
+pose-graph closure, and post global BA — loop closure must measurably
+reduce the drift of the closed loop.
 
 Usage:
-    python benchmarks/ate_artifact.py [--round 2] [--frames 48] [--chunk 8]
+    python benchmarks/ate_artifact.py [--round 3] [--skip-hard]
 """
 
 import argparse
@@ -33,10 +44,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def write_golden_clip(root: str, n_frames: int, seed: int = 0):
-    """Render the deterministic golden clip into a TUM-layout directory.
-
-    Returns (scene, timestamps)."""
+def write_golden_clip(root: str, n_frames: int, seed: int = 0,
+                      closed: bool = True, exposure_drift: float = 0.0,
+                      blur_gaps=()):
+    """Render the deterministic golden clip into a TUM-layout directory."""
     import jax.numpy as jnp
 
     from niftymatch_tpu.data import make_scene, render_frames
@@ -45,6 +56,10 @@ def write_golden_clip(root: str, n_frames: int, seed: int = 0):
     from niftymatch_tpu.sfm.se3 import camera_center
 
     w, h = 640, 480
+    if closed:
+        arc = (0.0, 2.0 * np.pi * (n_frames - 1) / n_frames)
+    else:
+        arc = (-0.7, 0.7)
     scene = make_scene(
         num_cams=n_frames,
         num_landmarks=1200,
@@ -52,9 +67,28 @@ def write_golden_clip(root: str, n_frames: int, seed: int = 0):
         radius=6.0,
         width=w,
         height=h,
-        arc=(-0.7, 0.7),
+        arc=arc,
+        helix=0.0 if closed else 0.05,
     )
     frames = render_frames(scene, seed=seed)
+    if exposure_drift:
+        # Sinusoidal gain/bias ramp over the clip (camera auto-exposure
+        # drift): gain in [1-d, 1+d], bias up to +/- 12 gray levels.
+        ph = np.linspace(0, 2 * np.pi, n_frames)
+        gain = 1.0 + exposure_drift * np.sin(ph)
+        bias = 12.0 * exposure_drift * np.sin(2.3 * ph + 0.7)
+        frames = frames * gain[:, None, None] + bias[:, None, None]
+    for lo, hi in blur_gaps:
+        # Separable box-of-gaussian defocus over a frame gap.
+        k = np.exp(-0.5 * (np.arange(-6, 7) / 2.5) ** 2)
+        k /= k.sum()
+        for i in range(lo, min(hi, n_frames)):
+            f = frames[i]
+            f = np.apply_along_axis(
+                lambda r: np.convolve(r, k, mode="same"), 1, f)
+            f = np.apply_along_axis(
+                lambda c: np.convolve(c, k, mode="same"), 0, f)
+            frames[i] = f
     os.makedirs(os.path.join(root, "rgb"), exist_ok=True)
     times = 1000.0 + np.arange(n_frames) * (1.0 / 30.0)
     with open(os.path.join(root, "rgb.txt"), "w") as f:
@@ -78,47 +112,73 @@ def write_golden_clip(root: str, n_frames: int, seed: int = 0):
     return scene
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--round", type=int, default=int(os.environ.get("GRAFT_ROUND", 2)))
-    ap.add_argument("--frames", type=int, default=48)
-    ap.add_argument("--chunk", type=int, default=8)
-    ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--root", default=None, help="real TUM sequence dir (skips generator)")
-    ap.add_argument("--workdir", default=None, help="where to write the golden clip")
-    ap.add_argument("--fx", type=float, default=525.0)
-    ap.add_argument("--fy", type=float, default=525.0)
-    ap.add_argument("--cx", type=float, default=320.0)
-    ap.add_argument("--cy", type=float, default=240.0)
-    ap.add_argument("--out", default=None, help="output JSON path")
-    args = ap.parse_args()
+def gt_consistency(slam, scene, kept: list) -> dict:
+    """Per-keyframe detector/descriptor repeatability proxy: for each
+    consecutive keyframe pair, the fraction of mutual ratio-test matches
+    whose Sampson epipolar distance under the GROUND-TRUTH relative pose
+    is < 2 px.  One batched match dispatch for all pairs."""
+    K = len(slam.keyframes)
+    if K < 2:
+        return {}
+    pairs = [(k, k + 1) for k in range(K - 1)]
+    midx = slam.match_keyframes(pairs)  # (K-1, N)
+    fx, fy, cx, cy = scene.intrinsics
+    fracs = []
+    for k, (a, b) in enumerate(pairs):
+        kfa, kfb = slam.keyframes[a], slam.keyframes[b]
+        kfa.ensure_host_coords()
+        kfb.ensure_host_coords()
+        sel = np.nonzero(midx[k] >= 0)[0]
+        if sel.size < 8:
+            fracs.append(0.0)
+            continue
+        ua = np.stack([(kfa.host_x[sel] - cx) / fx,
+                       (kfa.host_y[sel] - cy) / fy], -1)
+        j = midx[k][sel]
+        ub = np.stack([(kfb.host_x[j] - cx) / fx,
+                       (kfb.host_y[j] - cy) / fy], -1)
+        Ta = scene.poses[kept[a]]
+        Tb = scene.poses[kept[b]]
+        # Relative pose b<-a: x_b = R x_a + t.
+        R = Tb[:, :3] @ Ta[:, :3].T
+        t = Tb[:, 3] - R @ Ta[:, 3]
+        tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]])
+        E = tx @ R
+        pa = np.concatenate([ua, np.ones((sel.size, 1))], -1)
+        pb = np.concatenate([ub, np.ones((sel.size, 1))], -1)
+        Ex = pa @ E.T            # (n, 3)
+        Etx = pb @ E             # (n, 3)
+        num = np.sum(pb * Ex, -1) ** 2
+        den = Ex[:, 0] ** 2 + Ex[:, 1] ** 2 + Etx[:, 0] ** 2 + Etx[:, 1] ** 2
+        sampson = num / np.maximum(den, 1e-18)
+        thr = (2.0 / (0.5 * (fx + fy))) ** 2
+        fracs.append(float(np.mean(sampson < thr)))
+    fr = np.asarray(fracs)
+    return {
+        "gt_consistent_match_frac_mean": round(float(fr.mean()), 4),
+        "gt_consistent_match_frac_min": round(float(fr.min()), 4),
+    }
 
+
+def run_variant(name: str, n_frames: int, chunk: int, seed: int,
+                workdir: str | None, exposure_drift: float = 0.0,
+                blur_gaps=()) -> dict:
     import jax
-
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
 
     from niftymatch_tpu.config import RansacConfig
     from niftymatch_tpu.data import native_loader
     from niftymatch_tpu.data.tum import associate, load_sequence
     from niftymatch_tpu.slam import SlamConfig, SlamSystem
-    from niftymatch_tpu.utils.metrics import ate_rmse, rpe_rmse
+    from niftymatch_tpu.utils.metrics import ate_rmse, rpe_rmse, sim3_align
 
-    golden = args.root is None
-    if golden:
-        root = args.workdir or os.path.join(
-            os.environ.get("TMPDIR", "/tmp"), f"golden_clip_s{args.seed}_{args.frames}"
-        )
-        write_golden_clip(root, args.frames, args.seed)
-    else:
-        root = args.root
-
+    root = workdir or os.path.join(
+        os.environ.get("TMPDIR", "/tmp"),
+        f"golden_clip_{name}_s{seed}_{n_frames}",
+    )
+    scene = write_golden_clip(
+        root, n_frames, seed,
+        closed=True, exposure_drift=exposure_drift, blur_gaps=blur_gaps,
+    )
     seq = load_sequence(root)
     n = len(seq.rgb_paths)
 
@@ -140,56 +200,73 @@ def main():
         SlamConfig(
             width=w,
             height=h,
-            intrinsics=(args.fx, args.fy, args.cx, args.cy),
+            intrinsics=(525.0, 525.0, w / 2.0, h / 2.0),
             ransac=RansacConfig(iterations=1024, inlier_threshold=4.0),
             detector_features=1024,
             min_inliers=12,
-            chunk_size=args.chunk,
+            chunk_size=chunk,
             ba_every=4,
             ba_window=4,
+            loop_min_matches=40,
+            loop_min_gap=max(3, n_frames // 4),
         )
     )
     # First two chunks compile the fused chunk program (minutes on a cold
-    # compile cache); time steady-state throughput on the remainder.
-    warm = min(2 * args.chunk + 1, max(n - args.chunk, 1))
+    # compile cache); time steady-state throughput on the remainder — the
+    # SAME workload that produces the accuracy number below.
+    warm = min(2 * chunk + 1, max(n - chunk, 1))
     infos = slam.process_frames(frames[:warm].astype(np.uint8))
     start = time.perf_counter()
     infos += slam.process_frames(frames[warm:].astype(np.uint8))
     traj_vo = slam.trajectory()  # flushes BA; (K, 3) camera centers
     elapsed = time.perf_counter() - start
     timed_frames = n - warm
-    # Final full-trajectory refinement (global BA over every keyframe +
-    # track); timed separately — it is a one-off finalisation pass, not
-    # per-frame work.
+
+    kept = [i for i, info in enumerate(infos) if info["keyframe"]]
+    kept_times = np.asarray([seq.rgb_times[i] for i in kept])
+    ia, ib = associate(kept_times, seq.groundtruth.timestamps)
+    gt = seq.groundtruth.positions[ib]
+
+    def ate(traj):
+        return ate_rmse(traj[ia], gt, align=True, with_scale=True)
+
+    # Loop closure (BASELINE config 4): sweep -> verify -> pose graph.
+    t_lc = time.perf_counter()
+    loops = slam.close_loops()
+    traj_lc = slam.trajectory()
+    lc_s = time.perf_counter() - t_lc
+
+    # Global BA.  First call includes trace+compile; a second dispatch of
+    # the (shape-bucketed, cached) solver measures solve-only time.
     t_gba = time.perf_counter()
     gba_applied = slam.global_ba()
     traj = slam.trajectory()
-    gba_s = time.perf_counter() - t_gba
+    gba_total_s = time.perf_counter() - t_gba
+    t_gba2 = time.perf_counter()
+    slam.global_ba()
+    gba_solve_s = time.perf_counter() - t_gba2
 
-    kept = [i for i, info in enumerate(infos) if info["keyframe"]]
-    assert len(kept) == traj.shape[0], (len(kept), traj.shape)
-    kept_times = np.asarray([seq.rgb_times[i] for i in kept])
-    ia, ib = associate(kept_times, seq.groundtruth.timestamps)
     est = traj[ia]
-    est_vo = traj_vo[ia]
-    gt = seq.groundtruth.positions[ib]
-
-    # Monocular: Sim(3) (scale-aligned) ATE is the headline number; the
-    # SE(3)-only alignment is reported alongside for reference.
+    _, scale = sim3_align(est, gt)
     result = {
-        "round": args.round,
-        "clip": "golden-rendered" if golden else os.path.basename(root.rstrip("/")),
+        "variant": name,
+        "clip": "golden-rendered-closed-loop",
         "decode": decode,
         "frames": int(n),
         "keyframes": int(traj.shape[0]),
-        "ate_rmse_sim3": round(ate_rmse(est, gt, align=True, with_scale=True), 6),
-        "ate_rmse_se3": round(ate_rmse(est, gt, align=True, with_scale=False), 6),
-        "ate_rmse_sim3_pre_gba": round(
-            ate_rmse(est_vo, gt, align=True, with_scale=True), 6
-        ),
+        "relocs": sum(1 for i in infos if i.get("reloc")),
+        "loop_edges": int(loops),
+        "ate_rmse_sim3_pre_closure": round(ate(traj_vo), 6),
+        "ate_rmse_sim3_post_closure": round(ate(traj_lc), 6),
+        "ate_rmse_sim3": round(ate(traj), 6),
+        "ate_rmse_se3": round(
+            ate_rmse(est, gt, align=True, with_scale=False), 6),
+        "sim3_scale": round(scale, 6),
+        "rpe_rmse_sim3": round(rpe_rmse(est, gt, align=True), 6),
+        "loop_closure_s": round(lc_s, 2),
         "global_ba": bool(gba_applied),
-        "global_ba_s": round(gba_s, 2),
-        "rpe_rmse": round(rpe_rmse(est, gt), 6),
+        "global_ba_total_s": round(gba_total_s, 2),
+        "global_ba_solve_s": round(gba_solve_s, 2),
         "gt_extent": round(float(np.linalg.norm(gt.max(0) - gt.min(0))), 4),
         "wall_s": round(elapsed, 2),
         "frames_per_s": round(timed_frames / max(elapsed, 1e-9), 2),
@@ -197,11 +274,53 @@ def main():
     result["ate_pct_of_extent"] = round(
         100.0 * result["ate_rmse_sim3"] / max(result["gt_extent"], 1e-9), 3
     )
+    result.update(gt_consistency(slam, scene, kept))
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int,
+                    default=int(os.environ.get("GRAFT_ROUND", 3)))
+    ap.add_argument("--frames", type=int, default=96)
+    ap.add_argument("--hard-frames", type=int, default=200)
+    ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--skip-hard", action="store_true")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    result = {
+        "standard": run_variant(
+            "standard", args.frames, args.chunk, args.seed, args.workdir
+        )
+    }
+    print(json.dumps(result["standard"]))
+    if not args.skip_hard:
+        hf = args.hard_frames
+        result["hard"] = run_variant(
+            "hard", hf, args.chunk, args.seed + 1, None,
+            exposure_drift=0.25,
+            blur_gaps=((hf // 3, hf // 3 + 3), (2 * hf // 3, 2 * hf // 3 + 3)),
+        )
+        print(json.dumps(result["hard"]))
+
     out = args.out or os.path.join(REPO, f"ATE_r{args.round:02d}.json")
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
         f.write("\n")
-    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -40,11 +40,14 @@ def make_scene(
     width: int = 640,
     height: int = 480,
     arc: tuple = (-0.5, 0.5),
+    helix: float = 0.05,
 ) -> SyntheticScene:
     """Cameras on an orbit segment around a landmark cloud at the origin.
 
-    ``arc=(0, 2*pi*(K-1)/K)`` gives a closed loop (first/last adjacent) for
-    loop-closure tests."""
+    ``arc=(0, 2*pi*(K-1)/K)`` with ``helix=0`` gives a closed loop
+    (first/last cameras adjacent) for loop-closure tests; the default
+    ``helix`` adds a per-frame vertical rise so short arcs are not
+    coplanar."""
     rng = np.random.default_rng(seed)
     landmarks = rng.uniform(-2.0, 2.0, size=(num_landmarks, 3)).astype(np.float32)
     angles = np.linspace(arc[0], arc[1], num_cams)
@@ -53,7 +56,7 @@ def make_scene(
         eye = np.array(
             [
                 radius * np.sin(a),
-                0.4 * np.sin(2.2 * a + 0.3) + 0.05 * i,
+                0.4 * np.sin(2.2 * a + 0.3) + helix * i,
                 -radius * np.cos(a),
             ]
         )
@@ -200,6 +203,7 @@ def render_frames(
     scene: SyntheticScene,
     seed: int = 0,
     size_range: tuple = (0.015, 0.2),
+    distortion: tuple | None = None,
 ) -> np.ndarray:
     """Render (C, H, W) float32 frames: each landmark is a small 3-D
     constellation of Gaussian sub-blobs (a central peak plus satellites with
@@ -233,8 +237,18 @@ def render_frames(
         pts = scene.landmarks[:, None, :] + offsets  # (L, n_sub, 3)
         p = pts @ T[:, :3].T + T[:, 3]
         z = p[..., 2]
-        u = fx * p[..., 0] / np.maximum(z, 1e-9) + cx
-        v = fy * p[..., 1] / np.maximum(z, 1e-9) + cy
+        xn = p[..., 0] / np.maximum(z, 1e-9)
+        yn = p[..., 1] / np.maximum(z, 1e-9)
+        if distortion is not None:
+            # Forward OpenCV-convention radial model (k1, k2, k3), the
+            # inverse of what ops.warp.undistort_map corrects — so clips
+            # rendered with it exercise the undistort + remap path.
+            k1, k2, k3 = distortion
+            r2 = xn * xn + yn * yn
+            f = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+            xn, yn = xn * f, yn * f
+        u = fx * xn + cx
+        v = fy * yn + cy
         vis = (z > 0.5) & (u > -20) & (u < w + 20) & (v > -20) & (v < h + 20)
         img = frames[c]
         for l, s in zip(*np.nonzero(vis)):

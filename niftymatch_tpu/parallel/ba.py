@@ -110,29 +110,11 @@ def distributed_bundle_adjust(
 
     Returns (ShardedBAProblem with updated poses/landmarks, BAStats).
 
-    On a 1-device mesh the shard_map program is mathematically identical to
-    the plain solver but ~17x slower (manual-sharding boundaries block XLA
-    fusion around the psum points), so that case dispatches to
-    ``sfm.ba.bundle_adjust`` directly."""
+    The whole composed program (linearisation + Schur + LM loop) runs as
+    ONE jitted computation with collectives only at the psum points; a
+    1-device mesh compiles to the same fused code as the plain solver
+    (the round-2 bypass that special-cased it is gone)."""
     C = sharded.poses.shape[0]
-    if mesh.shape[axis] == 1:
-        from ..sfm.ba import bundle_adjust
-
-        problem = BAProblem(
-            poses=sharded.poses,
-            landmarks=sharded.landmarks,
-            intrinsics=sharded.intrinsics,
-            obs_uv=sharded.obs_uv,
-            obs_cam=sharded.obs_cam,
-            obs_lm=sharded.obs_lm,
-            obs_valid=sharded.obs_valid,
-            pose_fixed=sharded.pose_fixed,
-        )
-        solved, stats = bundle_adjust(problem, config)
-        return (
-            sharded._replace(poses=solved.poses, landmarks=solved.landmarks),
-            stats,
-        )
 
     def local_fn(poses, landmarks, intr, uv, cam, lml, valid, fixed):
         # All arrays here are the per-device shards; cameras replicated.
@@ -314,24 +296,6 @@ def distributed_bundle_adjust_cg(
     linearisation.
     """
     C = sharded.poses.shape[0]
-    if mesh.shape[axis] == 1:
-        from ..sfm.ba_cg import bundle_adjust_cg
-
-        problem = BAProblem(
-            poses=sharded.poses,
-            landmarks=sharded.landmarks,
-            intrinsics=sharded.intrinsics,
-            obs_uv=sharded.obs_uv,
-            obs_cam=sharded.obs_cam,
-            obs_lm=sharded.obs_lm,
-            obs_valid=sharded.obs_valid,
-            pose_fixed=sharded.pose_fixed,
-        )
-        solved, stats = bundle_adjust_cg(problem, config)
-        return (
-            sharded._replace(poses=solved.poses, landmarks=solved.landmarks),
-            stats,
-        )
 
     def local_fn(poses, landmarks, intr, uv, cam, lml, valid, fixed):
         L_loc = landmarks.shape[0]

@@ -89,9 +89,38 @@ def allpairs_match(
     ambiguity: float = 0.8,
     mutual: bool = False,
     return_indices: bool = False,
+    jblock: int = 8,
 ) -> AllPairsMatches:
-    """Dense single-device all-pairs sweep: one jittable call."""
-    counts, idx = _block_match(desc, valid, desc, valid, ambiguity, mutual)
+    """Dense single-device all-pairs sweep: one jittable call.
+
+    Memory-blocked: a naive vmap x vmap materialises every pairwise
+    (N, N) distance matrix simultaneously — K^2 N^2 floats, 64 GB at
+    K=128, N=1024 — so rows are processed sequentially (``lax.map``)
+    against column blocks of ``jblock`` frames, bounding the live
+    intermediate at jblock * N^2 floats regardless of K."""
+    K, N, D = desc.shape
+    KP = -(-K // jblock) * jblock
+    if KP != K:
+        descp = jnp.pad(desc, ((0, KP - K), (0, 0), (0, 0)))
+        validp = jnp.pad(valid, ((0, KP - K), (0, 0)))
+    else:
+        descp, validp = desc, valid
+    db = descp.reshape(KP // jblock, jblock, N, D)
+    vb = validp.reshape(KP // jblock, jblock, N)
+
+    def one_row(dv):
+        da, va = dv
+
+        def one_block(blk):
+            dbj, vbj = blk
+            return jax.vmap(
+                lambda d2, v2: _pair_match(da, va, d2, v2, ambiguity, mutual)
+            )(dbj, vbj)
+
+        cnts, idx = jax.lax.map(one_block, (db, vb))
+        return cnts.reshape(KP)[:K], idx.reshape(KP, N)[:K]
+
+    counts, idx = jax.lax.map(one_row, (desc, valid))
     return AllPairsMatches(counts, idx if return_indices else None)
 
 

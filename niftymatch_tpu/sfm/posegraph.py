@@ -136,3 +136,139 @@ def optimize_pose_graph(
     return graph._replace(poses=poses), PGOStats(
         initial_cost=init_cost, final_cost=cost, costs=costs
     )
+
+
+# ---------------------------------------------------------------------------
+# Sim(3) pose graph — scale-drift-aware monocular loop closure
+# (Strasdat et al. RSS 2010; the ORB-SLAM loop-closing formulation).
+# An SE(3) graph cannot absorb monocular scale drift: the loop-closure
+# constraint carries a relative SCALE as well as a relative pose, and only
+# a 7-DoF state per node lets the optimizer distribute it around the loop.
+# ---------------------------------------------------------------------------
+
+from .sim3 import (  # noqa: E402
+    sim3_compose,
+    sim3_error,
+    sim3_inverse,
+    sim3_retract,
+)
+
+
+class Sim3Graph(NamedTuple):
+    """Nodes: sim3 world->cam (scale (N,), T (N, 3, 4)).  Edge e measures
+    Z_e = S_i o S_j^-1 with relative scale ``edge_s`` (1.0 for odometry;
+    the map-alignment scale for loop edges)."""
+
+    scale: jnp.ndarray        # (N,)
+    poses: jnp.ndarray        # (N, 3, 4)
+    edge_i: jnp.ndarray       # (E,) int32
+    edge_j: jnp.ndarray       # (E,) int32
+    edge_s: jnp.ndarray       # (E,) measured relative scale
+    edge_T: jnp.ndarray       # (E, 3, 4) measured relative pose
+    edge_weight: jnp.ndarray  # (E,)
+    edge_valid: jnp.ndarray   # (E,) bool
+    node_fixed: jnp.ndarray   # (N,) bool
+
+
+@f32
+def sim3_edge_residual(si, Ti, sj, Tj, zs, zT) -> jnp.ndarray:
+    """(7,) residual err(Z^-1 S_i S_j^-1)."""
+    s_ij, T_ij = sim3_compose(si, Ti, *sim3_inverse(sj, Tj))
+    zs_inv, zT_inv = sim3_inverse(zs, zT)
+    return sim3_error(*sim3_compose(zs_inv, zT_inv, s_ij, T_ij))
+
+
+@f32
+def sim3_graph_cost(graph: Sim3Graph) -> jnp.ndarray:
+    r = jax.vmap(sim3_edge_residual)(
+        graph.scale[graph.edge_i], graph.poses[graph.edge_i],
+        graph.scale[graph.edge_j], graph.poses[graph.edge_j],
+        graph.edge_s, graph.edge_T,
+    )
+    w = graph.edge_weight * graph.edge_valid.astype(jnp.float32)
+    return jnp.sum(w * jnp.sum(r * r, axis=-1))
+
+
+@f32
+def optimize_pose_graph_sim3(
+    graph: Sim3Graph,
+    iterations: int = 12,
+    damping: float = 1e-6,
+) -> tuple[Sim3Graph, PGOStats]:
+    """Damped Gauss-Newton over 7-DoF nodes, branchless accept/reject.
+
+    Same structure as :func:`optimize_pose_graph` (autodiff edge
+    Jacobians vmapped over the fixed-shape edge table, dense 7N x 7N
+    normal equations, fixed-iteration scan) with the node state extended
+    by log-scale."""
+    N = graph.poses.shape[0]
+    init_cost = sim3_graph_cost(graph)
+
+    def r_of(xi_i, xi_j, si, Ti, sj, Tj, zs, zT):
+        return sim3_edge_residual(
+            *sim3_retract(xi_i, si, Ti), *sim3_retract(xi_j, sj, Tj), zs, zT
+        )
+
+    def solve(scale, poses, lam):
+        Si, Ti = scale[graph.edge_i], poses[graph.edge_i]
+        Sj, Tj = scale[graph.edge_j], poses[graph.edge_j]
+        zero = jnp.zeros((7,), poses.dtype)
+        args = (Si, Ti, Sj, Tj, graph.edge_s, graph.edge_T)
+        r = jax.vmap(lambda *a: r_of(zero, zero, *a))(*args)
+        Ji = jax.vmap(
+            lambda *a: jax.jacfwd(r_of, argnums=0)(zero, zero, *a)
+        )(*args)
+        Jj = jax.vmap(
+            lambda *a: jax.jacfwd(r_of, argnums=1)(zero, zero, *a)
+        )(*args)
+        w = (graph.edge_weight * graph.edge_valid.astype(jnp.float32))[
+            :, None, None
+        ]
+        Hii = jnp.einsum("eki,ekj->eij", Ji, Ji) * w
+        Hjj = jnp.einsum("eki,ekj->eij", Jj, Jj) * w
+        Hij = jnp.einsum("eki,ekj->eij", Ji, Jj) * w
+        bi = -jnp.einsum("eki,ek->ei", Ji, r) * w[..., 0]
+        bj = -jnp.einsum("eki,ek->ei", Jj, r) * w[..., 0]
+
+        H = jnp.zeros((N, N, 7, 7), poses.dtype)
+        H = H.at[graph.edge_i, graph.edge_i].add(Hii)
+        H = H.at[graph.edge_j, graph.edge_j].add(Hjj)
+        H = H.at[graph.edge_i, graph.edge_j].add(Hij)
+        H = H.at[graph.edge_j, graph.edge_i].add(jnp.swapaxes(Hij, -1, -2))
+        b = jnp.zeros((N, 7), poses.dtype)
+        b = b.at[graph.edge_i].add(bi)
+        b = b.at[graph.edge_j].add(bj)
+
+        Hd = jnp.transpose(H, (0, 2, 1, 3)).reshape(7 * N, 7 * N)
+        Hd = Hd + (lam + 1e-8) * jnp.eye(7 * N, dtype=poses.dtype)
+        rhs = b.reshape(7 * N)
+        free = (~graph.node_fixed).astype(poses.dtype)
+        fm = jnp.repeat(free, 7)
+        Hd = Hd * fm[:, None] * fm[None, :] + jnp.diag(1.0 - fm)
+        rhs = rhs * fm
+        dxi = jnp.linalg.solve(Hd, rhs).reshape(N, 7) * free[:, None]
+        new_s, new_T = jax.vmap(sim3_retract)(dxi, scale, poses)
+        return new_s, new_T
+
+    def body(carry, _):
+        scale, poses, lam, cost = carry
+        cand_s, cand_T = solve(scale, poses, lam)
+        new_cost = sim3_graph_cost(
+            graph._replace(scale=cand_s, poses=cand_T)
+        )
+        accept = new_cost < cost
+        scale = jnp.where(accept, cand_s, scale)
+        poses = jnp.where(accept, cand_T, poses)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e6)
+        return (scale, poses, lam, cost), cost
+
+    (scale, poses, _, cost), costs = jax.lax.scan(
+        body,
+        (graph.scale, graph.poses, jnp.float32(damping), init_cost),
+        None,
+        length=iterations,
+    )
+    return graph._replace(scale=scale, poses=poses), PGOStats(
+        initial_cost=init_cost, final_cost=cost, costs=costs
+    )

@@ -5,7 +5,7 @@ The reference's only instrumentation is a cudaEvent timer
 and evaluation layer SURVEY.md §5 calls for."""
 
 from .checkpoint import load_pytree, load_slam_state, save_pytree, save_slam_state
-from .metrics import ate_rmse, rpe_rmse, umeyama_alignment
+from .metrics import ate_rmse, rpe_rmse, sim3_align, umeyama_alignment
 from .precision import f32
 from .profiling import RooflineReport, annotate, roofline, trace
 from .timing import Timer, benchmark
@@ -21,6 +21,7 @@ __all__ = [
     "load_slam_state",
     "roofline",
     "rpe_rmse",
+    "sim3_align",
     "save_pytree",
     "save_slam_state",
     "trace",

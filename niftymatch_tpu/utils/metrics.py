@@ -53,12 +53,33 @@ def ate_rmse(
     return float(np.sqrt((err**2).sum(axis=1).mean()))
 
 
-def rpe_rmse(
-    est_positions: np.ndarray, gt_positions: np.ndarray, delta: int = 1
-) -> float:
-    """Relative pose (translation drift) error RMSE over a frame delta."""
+def sim3_align(est_positions: np.ndarray, gt_positions: np.ndarray):
+    """Sim(3)-align est to gt; returns (aligned_est, scale).
+
+    Monocular trajectories carry an arbitrary global scale, so any
+    RPE/ATE computed on the raw estimate is dominated by the scale
+    mismatch — align first, and report the recovered scale factor."""
     est = np.asarray(est_positions, np.float64)
     gt = np.asarray(gt_positions, np.float64)
+    s, R, t = umeyama_alignment(est, gt, with_scale=True)
+    return (s * (R @ est.T)).T + t, float(s)
+
+
+def rpe_rmse(
+    est_positions: np.ndarray,
+    gt_positions: np.ndarray,
+    delta: int = 1,
+    align: bool = True,
+) -> float:
+    """Relative pose (translation drift) error RMSE over a frame delta.
+
+    ``align=True`` (default) Sim(3)-aligns the estimate first: monocular
+    scale is arbitrary, so unaligned RPE just measures the global scale
+    mismatch (round-2 verdict weak #2)."""
+    est = np.asarray(est_positions, np.float64)
+    gt = np.asarray(gt_positions, np.float64)
+    if align:
+        est, _ = sim3_align(est, gt)
     de = est[delta:] - est[:-delta]
     dg = gt[delta:] - gt[:-delta]
     err = np.linalg.norm(de, axis=1) - np.linalg.norm(dg, axis=1)
