@@ -36,6 +36,7 @@ def main(max_devices: int | None = None):
         partition_by_landmark,
         ring_allpairs_match_counts,
     )
+    from niftymatch_tpu.parallel.ba import distributed_bundle_adjust_cg
     from niftymatch_tpu.sfm.ba import BAProblem
     from niftymatch_tpu.utils.timing import benchmark
 
@@ -44,7 +45,7 @@ def main(max_devices: int | None = None):
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_max]
 
     rng = np.random.default_rng(0)
-    results = {"ring_match": {}, "distributed_ba": {}}
+    results = {"ring_match": {}, "distributed_ba": {}, "distributed_ba_cg": {}}
 
     # --- Ring all-pairs matching: fixed global K, N, D ---
     K, N, D = 16, 128, 128
@@ -92,6 +93,37 @@ def main(max_devices: int | None = None):
         ms = benchmark(f, args, iters=4)
         results["distributed_ba"][n] = ms
 
+    # --- Distributed CG BA: the at-scale solver (config 5) ---
+    scene = make_scene(num_cams=32, num_landmarks=4096, seed=1)
+    obs_uv, obs_cam, obs_lm, valid_o = make_observation_table(scene, seed=1)
+    fixed = np.zeros(32, bool)
+    fixed[:2] = True
+    problem = BAProblem(
+        poses=jnp.asarray(scene.poses),
+        landmarks=jnp.asarray(scene.landmarks + 0.05),
+        intrinsics=jnp.asarray(scene.intrinsics),
+        obs_uv=jnp.asarray(obs_uv),
+        obs_cam=jnp.asarray(obs_cam),
+        obs_lm=jnp.asarray(obs_lm),
+        obs_valid=jnp.asarray(valid_o),
+        pose_fixed=jnp.asarray(fixed),
+    )
+    cfg = BAConfig(max_iterations=4, cg_iterations=16)
+    for n in sizes:
+        mesh = make_keyframe_mesh(n)
+        sharded = partition_by_landmark(problem, n)
+        f = jax.jit(
+            lambda lm, uv: distributed_bundle_adjust_cg(
+                sharded._replace(landmarks=lm, obs_uv=uv), mesh, cfg
+            )[0].poses
+        )
+        args = [
+            (sharded.landmarks + 0.001 * i, sharded.obs_uv)
+            for i in range(2)
+        ]
+        ms = benchmark(f, args, iters=4)
+        results["distributed_ba_cg"][n] = ms
+
     report = {}
     for name, times in results.items():
         if not times:
@@ -106,6 +138,10 @@ def main(max_devices: int | None = None):
             for n, t in sorted(times.items())
         }
     print(json.dumps(report, indent=2))
+    out = os.environ.get("SCALING_OUT")
+    if out:
+        with open(out, "w") as fo:
+            json.dump(report, fo, indent=1)
 
 
 if __name__ == "__main__":

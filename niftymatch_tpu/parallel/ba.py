@@ -20,6 +20,7 @@ sharded layout (observations sorted by landmark, padded per shard).
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import NamedTuple
 
 import numpy as np
@@ -114,10 +115,36 @@ def distributed_bundle_adjust(
     ONE jitted computation with collectives only at the psum points; a
     1-device mesh compiles to the same fused code as the plain solver
     (the round-2 bypass that special-cased it is gone)."""
-    C = sharded.poses.shape[0]
+    fn = _build_dense(mesh, config, axis)
+    poses, landmarks, init_cost, final_cost, lams, costs = fn(
+        sharded.poses,
+        sharded.landmarks,
+        sharded.intrinsics,
+        sharded.obs_uv,
+        sharded.obs_cam,
+        sharded.obs_lm,
+        sharded.obs_valid,
+        sharded.pose_fixed,
+    )
+    out = sharded._replace(poses=poses, landmarks=landmarks)
+    return out, BAStats(
+        initial_cost=init_cost,
+        final_cost=final_cost,
+        lambdas=lams,
+        costs=costs,
+    )
+
+
+@lru_cache(maxsize=32)
+def _build_dense(mesh: Mesh, config: BAConfig, axis: str):
+    """Jitted shard_map program for the dense-Schur solver, cached per
+    (mesh, config) — rebuilding jax.jit(jax.shard_map(...)) per call would
+    re-trace every invocation (the actual cause of the \'17x\' regression
+    round 2 measured and bypassed: the wrapper identity, not XLA fusion)."""
 
     def local_fn(poses, landmarks, intr, uv, cam, lml, valid, fixed):
         # All arrays here are the per-device shards; cameras replicated.
+        C = poses.shape[0]
         L_loc = landmarks.shape[0]
 
         def as_problem(poses, landmarks):
@@ -190,7 +217,7 @@ def distributed_bundle_adjust(
             S_local = (
                 jnp.zeros((C, C, 6, 6), Hcc.dtype)
                 .at[jnp.arange(C), jnp.arange(C)]
-                .set(Hcc + (lam + 1e-8) * eye6 / jnp.float32(n_dev))
+                .set(Hcc + (lam + 1e-8) * eye6 / jnp.float32(mesh.shape[axis]))
                 - jnp.einsum("clij,dlkj->cdik", A, W)
             )
             rhs_local = b_c - jnp.einsum("clij,lj->ci", A, b_l)
@@ -236,8 +263,10 @@ def distributed_bundle_adjust(
         )
         return poses, landmarks, init_cost, cost, lams, costs
 
-    n_dev = mesh.shape[axis]
-    fn = jax.shard_map(
+    # jit the WHOLE shard_map program: an unjitted shard_map executes
+    # eagerly, one dispatch per primitive — measured ~700x slower than the
+    # compiled program.
+    return jax.jit(jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(
@@ -252,24 +281,7 @@ def distributed_bundle_adjust(
         ),
         out_specs=(P(), P(axis), P(), P(), P(), P()),
         check_vma=False,
-    )
-    poses, landmarks, init_cost, final_cost, lams, costs = fn(
-        sharded.poses,
-        sharded.landmarks,
-        sharded.intrinsics,
-        sharded.obs_uv,
-        sharded.obs_cam,
-        sharded.obs_lm,
-        sharded.obs_valid,
-        sharded.pose_fixed,
-    )
-    out = sharded._replace(poses=poses, landmarks=landmarks)
-    return out, BAStats(
-        initial_cost=init_cost,
-        final_cost=final_cost,
-        lambdas=lams,
-        costs=costs,
-    )
+    ))
 
 
 @f32
@@ -295,9 +307,32 @@ def distributed_bundle_adjust_cg(
     (one observation per (camera, landmark) pair) and psummed once per
     linearisation.
     """
-    C = sharded.poses.shape[0]
+    fn = _build_cg(mesh, config, axis)
+    poses, landmarks, init_cost, final_cost, lams, costs = fn(
+        sharded.poses,
+        sharded.landmarks,
+        sharded.intrinsics,
+        sharded.obs_uv,
+        sharded.obs_cam,
+        sharded.obs_lm,
+        sharded.obs_valid,
+        sharded.pose_fixed,
+    )
+    return sharded._replace(poses=poses, landmarks=landmarks), BAStats(
+        initial_cost=init_cost,
+        final_cost=final_cost,
+        lambdas=lams,
+        costs=costs,
+    )
+
+
+@lru_cache(maxsize=32)
+def _build_cg(mesh: Mesh, config: BAConfig, axis: str):
+    """Jitted shard_map program for the Schur-PCG solver, cached per
+    (mesh, config) — see :func:`_build_dense`."""
 
     def local_fn(poses, landmarks, intr, uv, cam, lml, valid, fixed):
+        C = poses.shape[0]
         L_loc = landmarks.shape[0]
 
         def as_problem(poses, landmarks):
@@ -464,7 +499,7 @@ def distributed_bundle_adjust_cg(
         )
         return poses, landmarks, init_cost, cost, lams, costs
 
-    fn = jax.shard_map(
+    return jax.jit(jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(
@@ -472,20 +507,4 @@ def distributed_bundle_adjust_cg(
         ),
         out_specs=(P(), P(axis), P(), P(), P(), P()),
         check_vma=False,
-    )
-    poses, landmarks, init_cost, final_cost, lams, costs = fn(
-        sharded.poses,
-        sharded.landmarks,
-        sharded.intrinsics,
-        sharded.obs_uv,
-        sharded.obs_cam,
-        sharded.obs_lm,
-        sharded.obs_valid,
-        sharded.pose_fixed,
-    )
-    return sharded._replace(poses=poses, landmarks=landmarks), BAStats(
-        initial_cost=init_cost,
-        final_cost=final_cost,
-        lambdas=lams,
-        costs=costs,
-    )
+    ))

@@ -24,6 +24,12 @@ def make_keyframe_mesh(
     XLA lays the ring over ICI within a slice and DCN across slices."""
     devs = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devs)} devices are visible — a silently smaller "
+                f"mesh would fake scaling results"
+            )
         devs = devs[:n_devices]
     import numpy as np
 
