@@ -124,9 +124,7 @@ def main():
     wall = time.perf_counter() - t0
 
     pose_err = float(np.abs(np.asarray(solved.poses) - scene.poses).max())
-    print(
-        json.dumps(
-            {
+    result = {
                 "solver": args.solver,
                 "cams": C,
                 "landmarks": L,
@@ -140,10 +138,12 @@ def main():
                 "initial_cost": round(float(stats.initial_cost), 2),
                 "final_cost": round(float(stats.final_cost), 4),
                 "max_pose_err": round(pose_err, 5),
-            },
-            indent=2,
-        )
-    )
+    }
+    print(json.dumps(result, indent=2))
+    out = os.environ.get("GLOBAL_BA_OUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump(result, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -331,9 +331,26 @@ def _build_cg(mesh: Mesh, config: BAConfig, axis: str):
     """Jitted shard_map program for the Schur-PCG solver, cached per
     (mesh, config) — see :func:`_build_dense`."""
 
-    def local_fn(poses, landmarks, intr, uv, cam, lml, valid, fixed):
+    def local_fn(poses, landmarks, intr, uv_in, cam_in, lml_in, valid_in,
+                 fixed):
         C = poses.shape[0]
         L_loc = landmarks.shape[0]
+
+        from functools import partial as _partial
+
+        from ..sfm.ba_cg import _schur_pcg_step, build_obs_layout
+
+        psum = _partial(jax.lax.psum, axis_name=axis)
+
+        # Scatter-free segmented reductions need by-landmark-sorted local
+        # observations (see sfm/ba_cg.py); sort once per solve.  The solver
+        # core is SHARED with the single-device path — the only difference
+        # is reduce_fn=psum at the camera-space partial sums.
+        lay = build_obs_layout(cam_in, lml_in, C, L_loc)
+        uv = uv_in[lay.order_lm]
+        cam = lay.cam_sorted
+        lml = lay.lm_sorted
+        valid = valid_in[lay.order_lm]
 
         def as_problem(poses, landmarks):
             return BAProblem(
@@ -360,124 +377,14 @@ def _build_cg(mesh: Mesh, config: BAConfig, axis: str):
             )
             return jax.lax.psum(jnp.sum(c * v.astype(jnp.float32)), axis)
 
-        def solve(poses, landmarks, lam):
-            prob = as_problem(poses, landmarks)
-            r, w_, p, _ = residuals_and_weights(prob, config.huber_delta)
-            J_c, J_l = _jacobians(prob, p)
-            sw = jnp.sqrt(w_)[..., None]
-            r_w = r * sw
-            J_c = J_c * sw[..., None]
-            J_l = J_l * sw[..., None]
-
-            from ..sfm.ba_cg import _precond_corr, _segment_outer
-
-            chunk = config.obs_chunk
-            eye6 = jnp.eye(6, dtype=J_c.dtype)
-            Hcc = jax.lax.psum(
-                _segment_outer(J_c, J_c, cam, C, chunk), axis
-            ) + (lam + 1e-8) * eye6
-            Hll = _segment_outer(J_l, J_l, lml, L_loc, chunk) + (
-                lam + 1e-8
-            ) * jnp.eye(3, dtype=J_l.dtype)
-            Hll_inv = inv3x3(Hll)
-            b_c = -jax.lax.psum(
-                jax.ops.segment_sum(
-                    jnp.einsum("oij,oi->oj", J_c, r_w),
-                    cam,
-                    num_segments=C,
-                    indices_are_sorted=True,
-                ),
-                axis,
-            )
-            b_l = -jax.ops.segment_sum(
-                jnp.einsum("oij,oi->oj", J_l, r_w), lml, num_segments=L_loc
-            )
-
-            fr = (~fixed).astype(J_c.dtype)[:, None]
-
-            def w_t_apply(v):
-                u = jnp.einsum("oij,oj->oi", J_c, v[cam])
-                return jax.ops.segment_sum(
-                    jnp.einsum("oij,oi->oj", J_l, u), lml, num_segments=L_loc
-                )
-
-            def w_apply_local(z):
-                u = jnp.einsum("oij,oj->oi", J_l, z[lml])
-                return jax.ops.segment_sum(
-                    jnp.einsum("oij,oi->oj", J_c, u),
-                    cam,
-                    num_segments=C,
-                    indices_are_sorted=True,
-                )
-
-            def S_apply(v):
-                v = v * fr
-                Hv = jnp.einsum("cij,cj->ci", Hcc, v)
-                y = jnp.einsum("lij,lj->li", Hll_inv, w_t_apply(v))
-                # THE per-iteration collective: (C, 6) floats.
-                Wz = jax.lax.psum(w_apply_local(y), axis)
-                return (Hv - Wz) * fr + v * (1.0 - fr)
-
-            rhs = (
-                b_c
-                - jax.lax.psum(
-                    w_apply_local(
-                        jnp.einsum("lij,lj->li", Hll_inv, b_l)
-                    ),
-                    axis,
-                )
-            ) * fr
-
-            corr = jax.lax.psum(
-                _precond_corr(J_c, J_l, Hll_inv, cam, lml, C, chunk), axis
-            )
-            P = Hcc - corr
-            P = jnp.where(fixed[:, None, None], eye6, P)
-            P_inv = jnp.linalg.inv(P + 1e-6 * eye6)
-
-            def precond(v):
-                return jnp.einsum("cij,cj->ci", P_inv, v)
-
-            rhs_norm = jnp.sqrt(jnp.sum(rhs * rhs))
-            tol = config.cg_tol * jnp.maximum(rhs_norm, 1e-30)
-
-            def cg_body(carry, _):
-                xx, rr, pp, rz, active = carry
-                Ap = S_apply(pp)
-                denom = jnp.sum(pp * Ap)
-                alpha = rz / jnp.where(jnp.abs(denom) > 1e-30, denom, 1.0)
-                x_n = xx + alpha * pp
-                r_n = rr - alpha * Ap
-                z_n = precond(r_n)
-                rz_n = jnp.sum(r_n * z_n)
-                beta = rz_n / jnp.where(jnp.abs(rz) > 1e-30, rz, 1.0)
-                p_n = z_n + beta * pp
-                keep = active & (jnp.sqrt(jnp.sum(r_n * r_n)) > tol)
-                sel = lambda a, b: jnp.where(active, a, b)
-                return (
-                    sel(x_n, xx), sel(r_n, rr), sel(p_n, pp),
-                    sel(rz_n, rz), keep,
-                ), None
-
-            z0 = precond(rhs)
-            (dxi, _, _, _, _), _ = jax.lax.scan(
-                cg_body,
-                (
-                    jnp.zeros_like(rhs), rhs, z0,
-                    jnp.sum(rhs * z0), jnp.bool_(rhs_norm > 0),
-                ),
-                None,
-                length=config.cg_iterations,
-            )
-            dxi = dxi * fr
-            dX = jnp.einsum("lij,lj->li", Hll_inv, b_l - w_t_apply(dxi))
-            return dxi, dX
-
         init_cost = cost_of(poses, landmarks)
 
         def body(carry, _):
             poses, landmarks, lam, cost = carry
-            dxi, dX = solve(poses, landmarks, lam)
+            dxi, dX = _schur_pcg_step(
+                as_problem(poses, landmarks), lay, lam, config,
+                reduce_fn=psum,
+            )
             frm = (~fixed)[:, None].astype(dxi.dtype)
             cand_p = se3_compose(se3_exp(dxi * frm), poses)
             cand_l = landmarks + dX

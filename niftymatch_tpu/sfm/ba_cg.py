@@ -9,13 +9,19 @@ sliding windows (C <= ~16) but intractable at BASELINE config-5 scale
 * One linearisation per LM iteration stores only the per-observation
   Jacobians ``J_c (O, 2, 6)`` / ``J_l (O, 2, 3)`` — O(O) memory.
 * The Schur operator ``S v = (H_cc + lam I) v - W (H_ll + lam I)^-1 W^T v``
-  is applied in **observation space**: two gathers + two ``segment_sum``
-  scatters per apply (the TPU formulation of sparse block SpMV; the same
-  scatter-as-segment-sum reformulation the dense solver uses, SURVEY.md §7
-  hard part 2).
+  is applied in **observation space**: gathers + segmented reductions per
+  apply (sparse block SpMV, SURVEY.md §7 hard part 2).
+* **Segmented reductions are cumsum-differences over SORTED observations,
+  not scatters.**  XLA's TPU scatter costs ~20-30 ms for 2M rows *per
+  segment_sum* regardless of segment count (measured on a v5e chip); an
+  associative-scan cumsum + boundary gather computes the identical sorted
+  segment sum in ~1-3 ms.  Observations are argsorted once per solve into
+  landmark order, with a precomputed permutation into camera order for the
+  camera-side reductions — this is the difference between 0.85 and >3
+  M obs-updates/s at 512 cams / 131k landmarks / 2M observations.
 * Preconditioner: exact block-Jacobi of S.  Because a (camera, landmark)
   pair has at most one observation in BA, the diagonal correction
-  ``sum_l W_cl H_ll^-1 W_cl^T`` is itself a single segment-sum over
+  ``sum_l W_cl H_ll^-1 W_cl^T`` is itself a segmented reduction over
   observations of ``(J_c^T J_l) H_ll^-1 (J_l^T J_c)``.
 * PCG runs a fixed ``config.cg_iterations`` schedule inside ``lax.scan``
   with a branchless convergence freeze at ``config.cg_tol`` — no host
@@ -29,6 +35,8 @@ are fixed-size (6x6 / 3x3) and batched.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -39,146 +47,188 @@ from .ba import BAProblem, BAStats, _jacobians, ba_cost, residuals_and_weights
 from .se3 import se3_compose, se3_exp
 
 
-def _chunk_scan(arrays, chunk, body, init):
-    """Scan ``body`` over observation chunks of the given flat arrays.
+class ObsLayout(NamedTuple):
+    """Sorted-observation layout for scatter-free segmented reductions.
 
-    Pads the leading axis to a chunk multiple (callers must make padded
-    elements inert, e.g. segment ids == num_segments are dropped by
-    ``segment_sum``) and accumulates ``init`` through ``body``."""
-    O = arrays[0][0].shape[0]
-    n = -(-O // chunk)
-    pad = n * chunk - O
+    All per-observation arrays downstream live in BY-LANDMARK order;
+    ``perm_to_cam`` maps them into by-camera order when a camera-side
+    reduction is needed."""
 
-    def prep(a, fill):
-        widths = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
-        a = jnp.pad(a, widths, constant_values=fill)
-        return a.reshape(n, chunk, *a.shape[1:])
-
-    xs = tuple(prep(a, f) for a, f in arrays)
-
-    def step(acc, x):
-        return body(acc, *x), None
-
-    acc, _ = jax.lax.scan(step, init, xs)
-    return acc
+    order_lm: jnp.ndarray      # (O,) permutation: original -> by-landmark
+    ends_lm: jnp.ndarray       # (L,) exclusive end index per landmark
+    perm_to_cam: jnp.ndarray   # (O,) by-landmark -> by-camera
+    ends_cam: jnp.ndarray      # (C,) exclusive end index per camera
+    cam_sorted: jnp.ndarray    # (O,) camera id per by-landmark row
+    lm_sorted: jnp.ndarray     # (O,) landmark id per by-landmark row
 
 
-def _segment_outer(J_a, J_b, seg, num_segments, chunk):
-    """``segment_sum(einsum("oij,oik->ojk", J_a, J_b), seg)`` with the
-    (O, d_a, d_b) temporary bounded to ``chunk`` observations.
-
-    Under the TPU (8, 128) tile a (O, 6, 6) float32 temporary pads ~28x
-    (4 KiB/row for 144 B of data) — at global-BA scale that alone exceeds
-    HBM.  Chunking keeps the padded transient at a few hundred MB while
-    the accumulator stays the exact (num_segments, d_a, d_b) block sum."""
-    da, db = J_a.shape[2], J_b.shape[2]
-
-    def contrib(ja, jb, s):
-        return jax.ops.segment_sum(
-            jnp.einsum("oij,oik->ojk", ja, jb), s, num_segments=num_segments
-        )
-
-    if J_a.shape[0] <= chunk:
-        return contrib(J_a, J_b, seg)
-    return _chunk_scan(
-        ((J_a, 0), (J_b, 0), (seg, num_segments)),
-        chunk,
-        lambda acc, ja, jb, s: acc + contrib(ja, jb, s),
-        jnp.zeros((num_segments, da, db), J_a.dtype),
+def build_obs_layout(cam: jnp.ndarray, lm: jnp.ndarray, C: int, L: int
+                     ) -> ObsLayout:
+    """Once-per-solve index tables (device argsorts; shapes static)."""
+    order_lm = jnp.argsort(lm, stable=True)
+    lm_sorted = lm[order_lm]
+    cam_in_lm = cam[order_lm]
+    perm_to_cam = jnp.argsort(cam_in_lm, stable=True)
+    cam_sorted_by_cam = cam_in_lm[perm_to_cam]
+    ends_lm = jnp.searchsorted(lm_sorted, jnp.arange(1, L + 1))
+    ends_cam = jnp.searchsorted(cam_sorted_by_cam, jnp.arange(1, C + 1))
+    return ObsLayout(
+        order_lm=order_lm,
+        ends_lm=ends_lm.astype(jnp.int32),
+        perm_to_cam=perm_to_cam,
+        ends_cam=ends_cam.astype(jnp.int32),
+        cam_sorted=cam_in_lm,
+        lm_sorted=lm_sorted,
     )
 
 
-def _precond_corr(J_c, J_l, Hll_inv, cam, lm, num_cams, chunk):
-    """Block-diagonal of ``W H_ll^-1 W^T``: per-camera segment sum of
-    ``A_o H_ll^-1[lm_o] A_o^T`` with ``A_o = J_c^T J_l`` — observation-
-    chunked for the same tile-padding reason as :func:`_segment_outer`."""
+def _seg_reduce(vals: jnp.ndarray, ends: jnp.ndarray) -> jnp.ndarray:
+    """Sorted segment sum via cumsum-difference: (O, k) -> (n_seg, k).
 
-    def contrib(jc, jl, c, l):
-        A = jnp.einsum("oij,oik->ojk", jc, jl)            # (o, 6, 3)
-        return jax.ops.segment_sum(
-            jnp.einsum("oab,obc,odc->oad", A, Hll_inv[l], A),
-            c,
-            num_segments=num_cams,
-        )
+    Exact replacement for ``segment_sum`` on sorted ids (XLA lowers the
+    cumsum to an associative scan — tree summation, so rounding error is
+    O(log O) — while a scatter-add costs ~10x more wall time on TPU)."""
+    cs = jnp.cumsum(vals, axis=0)
+    zero = jnp.zeros((1,) + vals.shape[1:], vals.dtype)
+    cs = jnp.concatenate([zero, cs], axis=0)
+    e = cs[ends]
+    s = jnp.concatenate([zero, e[:-1]], axis=0)
+    return e - s
 
-    if J_c.shape[0] <= chunk:
-        return contrib(J_c, J_l, cam, lm)
-    return _chunk_scan(
-        ((J_c, 0), (J_l, 0), (cam, num_cams), (lm, 0)),
-        chunk,
-        lambda acc, jc, jl, c, l: acc + contrib(jc, jl, c, l),
-        jnp.zeros((num_cams, 6, 6), J_c.dtype),
-    )
+
+def seg_reduce_lm(vals: jnp.ndarray, lay: ObsLayout) -> jnp.ndarray:
+    """(O, ...) in by-landmark order -> (L, ...)."""
+    flat = vals.reshape(vals.shape[0], -1)
+    out = _seg_reduce(flat, lay.ends_lm)
+    return out.reshape((out.shape[0],) + vals.shape[1:])
+
+
+def seg_reduce_cam(vals: jnp.ndarray, lay: ObsLayout) -> jnp.ndarray:
+    """(O, ...) in by-landmark order -> (C, ...) (permutes internally)."""
+    flat = vals.reshape(vals.shape[0], -1)[lay.perm_to_cam]
+    out = _seg_reduce(flat, lay.ends_cam)
+    return out.reshape((out.shape[0],) + vals.shape[1:])
 
 
 def _linearize(problem: BAProblem, huber_delta: float):
-    """Whitened Jacobians + residuals at the current state."""
+    """Whitened Jacobians + residuals, stored FLAT: (O, 12), (O, 6), (O, 2).
+
+    Rank-3 per-observation arrays like (O, 2, 6) are tile-padded by the
+    TPU (8, 128) layout to 4 KiB/row (~85x), so anything that PERSISTS
+    across the CG scan is kept 2-D; consumers reshape in-body, which XLA
+    fuses without materialising the padded form (verified on-chip)."""
     r, w, p, _ = residuals_and_weights(problem, huber_delta)
     J_c, J_l = _jacobians(problem, p)
     sw = jnp.sqrt(w)[..., None]
-    return J_c * sw[..., None], J_l * sw[..., None], r * sw
+    O = r.shape[0]
+    return (
+        (J_c * sw[..., None]).reshape(O, 12),
+        (J_l * sw[..., None]).reshape(O, 6),
+        r * sw,
+    )
 
 
-def _schur_pcg_step(problem: BAProblem, lam: jnp.ndarray, config: BAConfig):
+def _outer_flat(Ja: jnp.ndarray, Jb: jnp.ndarray, da: int, db: int):
+    """Per-obs block outer product sum_i Ja_i Jb_i^T as flat (O, da*db)
+    columns — never materialises an (O, da, db) rank-3 temporary."""
+    cols = []
+    for j in range(da):
+        for k in range(db):
+            cols.append(
+                Ja[:, j] * Jb[:, k] + Ja[:, da + j] * Jb[:, db + k]
+            )
+    return jnp.stack(cols, axis=1)
+
+
+def _schur_pcg_step(problem: BAProblem, lay: ObsLayout, lam: jnp.ndarray,
+                    config: BAConfig, reduce_fn=lambda x: x):
     """One damped GN solve via matrix-free Schur PCG.
 
+    ``problem``'s observation arrays must already be in ``lay``'s
+    by-landmark order.  ``reduce_fn`` is applied to every camera-space
+    partial sum — identity on one device, ``psum`` over the mesh axis in
+    the landmark-sharded distributed solver (``parallel/ba.py``).
     Returns (dxi (C, 6), dX (L, 3))."""
     C = problem.poses.shape[0]
-    L = problem.landmarks.shape[0]
     cam, lm = problem.obs_cam, problem.obs_lm
 
-    J_c, J_l, r_w = _linearize(problem, config.huber_delta)
+    Jc_f, Jl_f, r_w = _linearize(problem, config.huber_delta)
+    O = Jc_f.shape[0]
+
+    def Jc3():
+        return Jc_f.reshape(O, 2, 6)
+
+    def Jl3():
+        return Jl_f.reshape(O, 2, 3)
 
     # Block-diagonal terms (materialised: O(C + L), small).
-    chunk = config.obs_chunk
-    Hcc = _segment_outer(J_c, J_c, cam, C, chunk) + (
-        lam + 1e-8
-    ) * jnp.eye(6, dtype=J_c.dtype)
-    Hll = _segment_outer(J_l, J_l, lm, L, chunk) + (
-        lam + 1e-8
-    ) * jnp.eye(3, dtype=J_l.dtype)
+    eye6 = jnp.eye(6, dtype=Jc_f.dtype)
+    Hcc = reduce_fn(
+        seg_reduce_cam(_outer_flat(Jc_f, Jc_f, 6, 6), lay).reshape(C, 6, 6)
+    ) + (lam + 1e-8) * eye6
+    L = problem.landmarks.shape[0]
+    Hll = seg_reduce_lm(_outer_flat(Jl_f, Jl_f, 3, 3), lay).reshape(
+        L, 3, 3
+    ) + (lam + 1e-8) * jnp.eye(3, dtype=Jl_f.dtype)
     Hll_inv = inv3x3(Hll)
-    b_c = -jax.ops.segment_sum(
-        jnp.einsum("oij,oi->oj", J_c, r_w), cam, num_segments=C
+    b_c = -reduce_fn(
+        seg_reduce_cam(jnp.einsum("oij,oi->oj", Jc3(), r_w), lay)
     )
-    b_l = -jax.ops.segment_sum(
-        jnp.einsum("oij,oi->oj", J_l, r_w), lm, num_segments=L
-    )
+    b_l = -seg_reduce_lm(jnp.einsum("oij,oi->oj", Jl3(), r_w), lay)
 
-    free = (~problem.pose_fixed).astype(J_c.dtype)[:, None]   # (C, 1)
+    free = (~problem.pose_fixed).astype(Jc_f.dtype)[:, None]   # (C, 1)
 
     def w_t_apply(v):
         """W^T v: camera-space (C, 6) -> landmark-space (L, 3)."""
-        u = jnp.einsum("oij,oj->oi", J_c, v[cam])             # (O, 2)
-        return jax.ops.segment_sum(
-            jnp.einsum("oij,oi->oj", J_l, u), lm, num_segments=L
-        )
+        u = jnp.einsum("oij,oj->oi", Jc3(), v[cam])            # (O, 2)
+        return seg_reduce_lm(jnp.einsum("oij,oi->oj", Jl3(), u), lay)
 
     def w_apply(z):
-        """W z: landmark-space (L, 3) -> camera-space (C, 6)."""
-        u = jnp.einsum("oij,oj->oi", J_l, z[lm])              # (O, 2)
-        return jax.ops.segment_sum(
-            jnp.einsum("oij,oi->oj", J_c, u), cam, num_segments=C
-        )
+        """W z (local shard): landmark-space (L, 3) -> camera (C, 6)."""
+        u = jnp.einsum("oij,oj->oi", Jl3(), z[lm])             # (O, 2)
+        return seg_reduce_cam(jnp.einsum("oij,oi->oj", Jc3(), u), lay)
+
+    def v_in_fixed(v):
+        return v * (1.0 - free)
 
     def S_apply(v):
         v = v * free
         Hv = jnp.einsum("cij,cj->ci", Hcc, v)
         y = jnp.einsum("lij,lj->li", Hll_inv, w_t_apply(v))
-        out = (Hv - w_apply(y)) * free
+        # In the distributed solver this is THE per-iteration collective:
+        # (C, 6) floats over the mesh.
+        out = (Hv - reduce_fn(w_apply(y))) * free
         # Fixed poses act as identity rows (keeps S positive definite).
         return out + v_in_fixed(v)
 
-    def v_in_fixed(v):
-        return v * (1.0 - free)
-
     # rhs = b_c - W H_ll^-1 b_l, gauge rows zeroed.
-    rhs = (b_c - w_apply(jnp.einsum("lij,lj->li", Hll_inv, b_l))) * free
+    rhs = (
+        b_c - reduce_fn(w_apply(jnp.einsum("lij,lj->li", Hll_inv, b_l)))
+    ) * free
 
-    # Exact block-Jacobi of S (one obs per (cam, lm) pair in BA).
-    corr = _precond_corr(J_c, J_l, Hll_inv, cam, lm, C, chunk)  # (C, 6, 6)
+    # Exact block-Jacobi of S (one obs per (cam, lm) pair in BA):
+    # G_o = A_o Hll_inv[lm_o] A_o^T with A_o = J_c^T J_l, all as flat
+    # (O, k) column arithmetic (see _outer_flat).
+    A = _outer_flat(Jc_f, Jl_f, 6, 3)                          # (O, 18)
+    Hg = Hll_inv.reshape(L, 9)[lm]                             # (O, 9) sorted
+    B = jnp.stack(
+        [
+            sum(A[:, a * 3 + b] * Hg[:, b * 3 + c] for b in range(3))
+            for a in range(6)
+            for c in range(3)
+        ],
+        axis=1,
+    )                                                          # (O, 18)
+    G = jnp.stack(
+        [
+            sum(B[:, a * 3 + c] * A[:, d * 3 + c] for c in range(3))
+            for a in range(6)
+            for d in range(6)
+        ],
+        axis=1,
+    )                                                          # (O, 36)
+    corr = reduce_fn(seg_reduce_cam(G, lay).reshape(C, 6, 6))
     P = Hcc - corr
-    eye6 = jnp.eye(6, dtype=P.dtype)
     P = jnp.where(problem.pose_fixed[:, None, None], eye6, P)
     # Damped blocks are SPD; a plain inverse is fine at 6x6.
     P_inv = jnp.linalg.inv(P + 1e-6 * eye6)
@@ -235,9 +285,22 @@ def bundle_adjust_cg(
     problems (memory O(O + C + L), never O(C*L))."""
     init_cost = ba_cost(problem, config.huber_delta)
 
+    # Re-order observations once (invalid rows keep w=0 and contribute
+    # zeros to every reduction, so they can sit anywhere in the order).
+    C = problem.poses.shape[0]
+    L = problem.landmarks.shape[0]
+    lay = build_obs_layout(problem.obs_cam, problem.obs_lm, C, L)
+    o = lay.order_lm
+    sorted_problem = problem._replace(
+        obs_uv=problem.obs_uv[o],
+        obs_cam=lay.cam_sorted,
+        obs_lm=lay.lm_sorted,
+        obs_valid=problem.obs_valid[o],
+    )
+
     def body(carry, _):
         prob, lam, cost = carry
-        dxi, dX = _schur_pcg_step(prob, lam, config)
+        dxi, dX = _schur_pcg_step(prob, lay, lam, config)
         free = (~prob.pose_fixed)[:, None].astype(dxi.dtype)
         cand = prob._replace(
             poses=se3_compose(se3_exp(dxi * free), prob.poses),
@@ -254,10 +317,11 @@ def bundle_adjust_cg(
 
     (prob, _, cost), (lams, costs) = jax.lax.scan(
         body,
-        (problem, jnp.float32(config.damping), init_cost),
+        (sorted_problem, jnp.float32(config.damping), init_cost),
         None,
         length=config.max_iterations,
     )
-    return prob, BAStats(
+    out = problem._replace(poses=prob.poses, landmarks=prob.landmarks)
+    return out, BAStats(
         initial_cost=init_cost, final_cost=cost, lambdas=lams, costs=costs
     )
