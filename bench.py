@@ -65,12 +65,14 @@ def bench_slam_loop(n_frames=56, chunk=16):
         ba_window=4,
     )
     slam = SlamSystem(cfg)
-    # Warm-up: first chunk compiles the fused chunk program + detector.
-    slam.process_frames(frames[: chunk + 1])
+    # Warm-up: two chunks — the first compiles the fused chunk program +
+    # detector, the second the store-scatter/windowed-BA programs that
+    # only trigger once a chunk has been absorbed.
+    slam.process_frames(frames[: 2 * chunk + 1])
     import time as _t
 
     start = _t.perf_counter()
-    infos = slam.process_frames(frames[chunk + 1 :])
+    infos = slam.process_frames(frames[2 * chunk + 1 :])
     slam.flush_ba()
     elapsed = _t.perf_counter() - start
     accepted = sum(1 for i in infos if i["keyframe"])
