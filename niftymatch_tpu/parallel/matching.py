@@ -124,6 +124,78 @@ def allpairs_match(
     return AllPairsMatches(counts, idx if return_indices else None)
 
 
+def allpairs_match_pallas(
+    desc: jnp.ndarray,
+    valid: jnp.ndarray,
+    ambiguity: float = 0.8,
+    mutual: bool = False,
+    return_indices: bool = False,
+    precision: str = "fp32",
+    interpret: bool = False,
+) -> AllPairsMatches:
+    """All-pairs sweep through the fused Pallas match kernel.
+
+    The K^2 sweep is reshaped into K tall-skinny fused-kernel calls
+    inside one ``lax.scan``: all K*N descriptor rows (prepared ONCE)
+    match against one keyframe's set per step — the kernel's best regime
+    (M large, B resident in VMEM; see ``pallas/match.py``), instead of
+    K^2 separate (N, N) GEMMs with materialised distance matrices.
+    Mutuality is resolved from the full forward index table: slot n of
+    frame i matching slot m of frame j is mutual iff frame j's slot m
+    matches back to (i, n) — the (j -> i) direction is just another row
+    block of the same sweep, so no backward pass is computed.
+
+    Semantics match ``allpairs_match`` (the jnp oracle): Lowe ratio test
+    at ``ambiguity`` per pair, -1 sentinels, invalid slots excluded.
+    ``precision='bf16'`` halves GEMM time (4x MXU rate + half the DMA);
+    candidate counts can then differ from the oracle by ratio-test flips
+    within bf16 noise of the threshold — fine for loop-closure candidate
+    DETECTION (verification re-matches candidates exactly).
+    """
+    from ..pallas.match import (
+        _MASKVAL,
+        _NOVALID,
+        fused_match_topk_prepared,
+        prepare_descriptors,
+    )
+
+    K, N, D = desc.shape
+    flat = desc.reshape(K * N, D)
+    prep_a = prepare_descriptors(flat, bf16=(precision == "bf16"))
+    a_neg2, mat, norm = prep_a
+    norm_b = jnp.where(valid.reshape(K * N), norm, _MASKVAL)
+
+    def step(_, j):
+        pb = (
+            None,
+            jax.lax.dynamic_slice(mat, (j * N, 0), (N, D)),
+            jax.lax.dynamic_slice(norm_b, (j * N,), (N,)),
+        )
+        min1, idx1, min2 = fused_match_topk_prepared(
+            (a_neg2, None, norm), pb, interpret=interpret
+        )
+        had = min1 < _NOVALID
+        ratio = min1 / jnp.where(min2 > 0.0, min2, 1.0)
+        ok = (min2 > 0.0) & (ratio < ambiguity) & had & valid.reshape(-1)
+        return None, jnp.where(ok, idx1, -1)        # (K*N,) int32
+
+    _, idx_all = jax.lax.scan(step, None, jnp.arange(K))
+    # idx_all: (j, i*N+n) -> slot in frame j matched by slot n of frame i.
+    idx = jnp.transpose(idx_all.reshape(K, K, N), (1, 0, 2))  # (i, j, n)
+
+    if mutual:
+        # back[i, j, n] = who frame j's slot idx[i,j,n] matches in frame i.
+        m = jnp.maximum(idx, 0)
+        j_ids = jnp.arange(K)[None, :, None]
+        i_ids = jnp.arange(K)[:, None, None]
+        back = idx[j_ids, i_ids, m]                  # (i, j, n)
+        n_ids = jnp.arange(N)[None, None, :]
+        idx = jnp.where((idx >= 0) & (back == n_ids), idx, -1)
+
+    counts = jnp.sum((idx >= 0).astype(jnp.int32), axis=-1)
+    return AllPairsMatches(counts, idx if return_indices else None)
+
+
 def ring_allpairs_match(
     desc: jnp.ndarray,
     valid: jnp.ndarray,

@@ -270,6 +270,12 @@ class SlamSystem:
             partial(allpairs_match, ambiguity=0.7, mutual=True,
                     return_indices=False)
         )
+        from ..parallel.matching import allpairs_match_pallas
+
+        self._jit_allpairs_pallas = jax.jit(
+            partial(allpairs_match_pallas, ambiguity=0.7, mutual=True,
+                    return_indices=False, precision="bf16")
+        )
 
         def _cand_match(fa: Features, fb: Features):
             from ..ops.match import (
@@ -841,6 +847,10 @@ class SlamSystem:
                 mutual=True,
                 return_indices=False,
             )
+        if jax.default_backend() == "tpu":
+            # Fused-kernel sweep: K tall-skinny matches in one scan (the
+            # kernel's best regime) instead of K^2 oracle GEMMs.
+            return self._jit_allpairs_pallas(buf.desc, buf.valid)
         return self._jit_allpairs(buf.desc, buf.valid)
 
     def match_keyframes(self, pairs) -> np.ndarray:

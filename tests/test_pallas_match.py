@@ -129,3 +129,33 @@ def test_fused_topk_hardware_bf16_index_agreement(rng):
     assert agree > 0.999, f"bf16 index agreement {agree:.4f}"
     np.testing.assert_allclose(np.asarray(min1), o1n,
                                rtol=0.05, atol=0.5)
+
+
+@requires_tpu
+def test_allpairs_pallas_sweep_hardware(rng):
+    """The fused-kernel all-pairs sweep (bf16, compiled) agrees with the
+    jnp oracle sweep on counts to within ratio-test noise on hardware."""
+    from niftymatch_tpu.parallel.matching import (
+        allpairs_match,
+        allpairs_match_pallas,
+    )
+
+    K, N, D = 12, 256, 128
+    desc = rng.normal(size=(K, N, D)).astype(np.float32)
+    for k in range(1, K):
+        desc[k, : N // 2] = desc[0, : N // 2] + 0.01 * rng.normal(
+            size=(N // 2, D)
+        ).astype(np.float32)
+    valid = np.ones((K, N), bool)
+    ref = np.asarray(
+        allpairs_match(jnp.asarray(desc), jnp.asarray(valid),
+                       ambiguity=0.7, mutual=True).counts
+    )
+    got = np.asarray(
+        allpairs_match_pallas(jnp.asarray(desc), jnp.asarray(valid),
+                              ambiguity=0.7, mutual=True,
+                              precision="bf16").counts
+    )
+    # bf16 can flip matches whose ratio sits at the threshold; counts must
+    # agree closely, not exactly.
+    assert np.abs(ref - got).max() <= max(2, int(0.03 * ref.max()))

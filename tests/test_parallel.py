@@ -163,3 +163,39 @@ def test_ring_allpairs_indices_nondivisible_oracle(rng):
         oracle = np.asarray(mutual_matches(fwd, bwd))
         np.testing.assert_array_equal(np.asarray(res.indices[i, j]), oracle)
         assert int(res.counts[i, j]) == int(np.sum(oracle >= 0))
+
+
+def test_allpairs_pallas_matches_oracle(rng):
+    """The Pallas-swept all-pairs counts/indices == the jnp oracle sweep
+    (interpret mode on CPU; the TPU tier runs the compiled kernel)."""
+    from niftymatch_tpu.parallel.matching import (
+        allpairs_match,
+        allpairs_match_pallas,
+    )
+
+    K, N, D = 6, 64, 32
+    desc = rng.normal(size=(K, N, D)).astype(np.float32)
+    # plant cross-frame near-duplicates so the ratio test passes
+    for k in range(1, K):
+        desc[k, : N // 2] = desc[0, : N // 2] + 0.01 * rng.normal(
+            size=(N // 2, D)
+        ).astype(np.float32)
+    valid = np.ones((K, N), bool)
+    valid[:, -5:] = False
+
+    for mutual in (False, True):
+        ref = allpairs_match(
+            jnp.asarray(desc), jnp.asarray(valid),
+            ambiguity=0.8, mutual=mutual, return_indices=True,
+        )
+        got = allpairs_match_pallas(
+            jnp.asarray(desc), jnp.asarray(valid),
+            ambiguity=0.8, mutual=mutual, return_indices=True,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.counts), np.asarray(ref.counts)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.indices), np.asarray(ref.indices)
+        )
