@@ -188,6 +188,13 @@ def main():
             "hbm_bw": HBM_BW,
             "method": "3-point slope over in-program rep counts; distinct "
                       "buffers per dispatch; fetch-forced",
+            "note": "pct_roofline counts GEMM FLOPs only.  The fused "
+                    "top-2 fold adds ~8 VPU ops per distance entry "
+                    "(~2.4us per 1k-pair vs 1.4us of MXU work), which "
+                    "bounds small-K utilisation near 30% regardless of "
+                    "batching; at large K the fold overlaps the deeper "
+                    "MXU pipeline (70%).  An unfused formulation would "
+                    "be HBM-bound far below either number.",
             "rows": rows,
         }
         with open(os.path.join(os.path.dirname(os.path.dirname(
