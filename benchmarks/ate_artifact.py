@@ -240,11 +240,18 @@ def run_variant(name: str, n_frames: int, chunk: int, seed: int,
     # the (shape-bucketed, cached) solver measures solve-only time.
     t_gba = time.perf_counter()
     gba_applied = slam.global_ba()
-    traj = slam.trajectory()
+    traj_gba1 = slam.trajectory()
     gba_total_s = time.perf_counter() - t_gba
     t_gba2 = time.perf_counter()
     slam.global_ba()
     gba_solve_s = time.perf_counter() - t_gba2
+
+    # Closure <-> GBA alternation: each closure re-estimates loop-edge
+    # scales from the corrected map, so repeating converges further.
+    t_fin = time.perf_counter()
+    fin = slam.finalize(rounds=2)
+    fin_s = time.perf_counter() - t_fin
+    traj = slam.trajectory()
 
     est = traj[ia]
     _, scale = sim3_align(est, gt)
@@ -258,7 +265,10 @@ def run_variant(name: str, n_frames: int, chunk: int, seed: int,
         "loop_edges": int(loops),
         "ate_rmse_sim3_pre_closure": round(ate(traj_vo), 6),
         "ate_rmse_sim3_post_closure": round(ate(traj_lc), 6),
+        "ate_rmse_sim3_post_gba": round(ate(traj_gba1), 6),
         "ate_rmse_sim3": round(ate(traj), 6),
+        "finalize_rounds": fin["rounds"],
+        "finalize_s": round(fin_s, 2),
         "ate_rmse_se3": round(
             ate_rmse(est, gt, align=True, with_scale=False), 6),
         "sim3_scale": round(scale, 6),

@@ -186,6 +186,7 @@ def main():
     loops = slam.close_loops()
     traj_lc = slam.trajectory()
     gba = slam.global_ba()
+    slam.finalize(rounds=2)
     est_all = slam.trajectory()
 
     kept = [i for i, info in enumerate(infos) if info["keyframe"]]
