@@ -25,8 +25,14 @@ HBM traffic is the design target (this is what limits large sweeps, see
   MC x TN f32 regardless of TM, so TM is VMEM-cheap.
 
 Accumulator scratch persists across the sequential TPU grid.  Semantics
-match ``ops.match.top2_min`` exactly: ties resolve to the lowest column
-index; min2 is the smallest distance at any *other* column.
+match ``ops.match.top2_min`` up to fp rounding of the distance
+computation: ties resolve to the lowest column index; min2 is the
+smallest distance at any *other* column.  (For EXACT-duplicate
+descriptors the true second-best distance is 0 and both paths clamp a
+rounding-noise value at 0 — whether the ratio test then rejects is an
+fp coin-flip in the oracle and the kernel alike; indices agree exactly
+wherever the top-2 gap exceeds rounding noise, which the hardware
+equivalence tests assert.)
 """
 
 from __future__ import annotations
@@ -273,6 +279,9 @@ def fused_match_topk_prepared(
     tm = atm if tm is None else tm
     tn = atn if tn is None else tn
     mc = min(tm, amc if mc is None else mc)
+    # A non-divisible tm would silently floor the chunk count and leave
+    # tile rows >= nc*mc with UNWRITTEN (garbage) outputs.
+    assert tm % mc == 0, (tm, mc)
     if b_valid is not None:
         b_norm = jnp.where(b_valid, b_norm, _MASKVAL)
     return _fused_call(a_neg2, b_mat, b_norm[None, :], a_norm, m,

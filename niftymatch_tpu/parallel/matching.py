@@ -19,6 +19,7 @@ of ring attention):
 from __future__ import annotations
 
 from functools import partial
+from functools import lru_cache
 from typing import NamedTuple
 
 import jax
@@ -239,6 +240,25 @@ def ring_allpairs_match(
         )
         valid = jnp.concatenate([valid, jnp.zeros((pad, n_cap), bool)])
     k_total = k_orig + pad
+
+    fn = _build_ring(mesh, axis, ambiguity, mutual, return_indices,
+                     k_total, n_cap)
+    counts, idx = fn(desc, valid.astype(jnp.bool_))
+    counts = counts[:k_orig, :k_orig]
+    return AllPairsMatches(
+        counts, idx[:k_orig, :k_orig] if return_indices else None
+    )
+
+
+@lru_cache(maxsize=64)
+def _build_ring(mesh: Mesh, axis: str, ambiguity: float, mutual: bool,
+                return_indices: bool, k_total: int, n_cap: int):
+    """Jitted ring-sweep program, cached per (mesh, params, shape bucket).
+
+    An unjitted shard_map executes eagerly (one dispatch per primitive)
+    and a rebuilt jit wrapper re-traces per call — the same two wrapper
+    bugs fixed in parallel/ba.py's distributed solvers."""
+    n_dev = mesh.shape[axis]
     k_local = k_total // n_dev
 
     def local_fn(desc_blk, valid_blk):
@@ -280,17 +300,12 @@ def ring_allpairs_match(
         )
         return out_c, out_i
 
-    fn = jax.shard_map(
+    return jax.jit(jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(P(axis), P(axis)),
         out_specs=(P(axis), P(axis)),
-    )
-    counts, idx = fn(desc, valid.astype(jnp.bool_))
-    counts = counts[:k_orig, :k_orig]
-    return AllPairsMatches(
-        counts, idx[:k_orig, :k_orig] if return_indices else None
-    )
+    ))
 
 
 def ring_allpairs_match_counts(

@@ -85,9 +85,16 @@ def build_obs_layout(cam: jnp.ndarray, lm: jnp.ndarray, C: int, L: int
 def _seg_reduce(vals: jnp.ndarray, ends: jnp.ndarray) -> jnp.ndarray:
     """Sorted segment sum via cumsum-difference: (O, k) -> (n_seg, k).
 
-    Exact replacement for ``segment_sum`` on sorted ids (XLA lowers the
-    cumsum to an associative scan — tree summation, so rounding error is
-    O(log O) — while a scatter-add costs ~10x more wall time on TPU)."""
+    Replaces ``segment_sum`` on sorted ids in the PER-CG-ITERATION
+    operator applies (a TPU scatter-add costs ~10x more wall time).
+    Precision note: a segment's absolute error scales with the global
+    fp32 prefix magnitude, not the segment's — acceptable inside CG
+    (signed summands, iterative solver, LM accept gate), but NOT for the
+    once-per-iteration block sums (all-positive quadratic terms where a
+    late small segment would lose ~eps * total relative accuracy); those
+    use exact per-segment ``segment_sum`` accumulation instead
+    (:func:`seg_sum_lm_exact` / :func:`seg_sum_cam_exact` — their
+    scatter cost is paid once per LM iteration, not once per CG step)."""
     cs = jnp.cumsum(vals, axis=0)
     zero = jnp.zeros((1,) + vals.shape[1:], vals.dtype)
     cs = jnp.concatenate([zero, cs], axis=0)
@@ -97,7 +104,7 @@ def _seg_reduce(vals: jnp.ndarray, ends: jnp.ndarray) -> jnp.ndarray:
 
 
 def seg_reduce_lm(vals: jnp.ndarray, lay: ObsLayout) -> jnp.ndarray:
-    """(O, ...) in by-landmark order -> (L, ...)."""
+    """(O, ...) in by-landmark order -> (L, ...) (fast, prefix-diff)."""
     flat = vals.reshape(vals.shape[0], -1)
     out = _seg_reduce(flat, lay.ends_lm)
     return out.reshape((out.shape[0],) + vals.shape[1:])
@@ -108,6 +115,24 @@ def seg_reduce_cam(vals: jnp.ndarray, lay: ObsLayout) -> jnp.ndarray:
     flat = vals.reshape(vals.shape[0], -1)[lay.perm_to_cam]
     out = _seg_reduce(flat, lay.ends_cam)
     return out.reshape((out.shape[0],) + vals.shape[1:])
+
+
+def seg_sum_lm_exact(vals: jnp.ndarray, lay: ObsLayout, L: int) -> jnp.ndarray:
+    """Exact (per-segment accumulated) landmark segment sum — see
+    :func:`_seg_reduce` precision note."""
+    return jax.ops.segment_sum(
+        vals, lay.lm_sorted, num_segments=L, indices_are_sorted=True
+    )
+
+
+def seg_sum_cam_exact(vals: jnp.ndarray, lay: ObsLayout, C: int) -> jnp.ndarray:
+    """Exact camera segment sum (permutes into by-camera order)."""
+    return jax.ops.segment_sum(
+        vals[lay.perm_to_cam],
+        lay.cam_sorted[lay.perm_to_cam],
+        num_segments=C,
+        indices_are_sorted=True,
+    )
 
 
 def _linearize(problem: BAProblem, huber_delta: float):
@@ -164,17 +189,18 @@ def _schur_pcg_step(problem: BAProblem, lay: ObsLayout, lam: jnp.ndarray,
     # Block-diagonal terms (materialised: O(C + L), small).
     eye6 = jnp.eye(6, dtype=Jc_f.dtype)
     Hcc = reduce_fn(
-        seg_reduce_cam(_outer_flat(Jc_f, Jc_f, 6, 6), lay).reshape(C, 6, 6)
+        seg_sum_cam_exact(_outer_flat(Jc_f, Jc_f, 6, 6), lay, C)
+        .reshape(C, 6, 6)
     ) + (lam + 1e-8) * eye6
     L = problem.landmarks.shape[0]
-    Hll = seg_reduce_lm(_outer_flat(Jl_f, Jl_f, 3, 3), lay).reshape(
+    Hll = seg_sum_lm_exact(_outer_flat(Jl_f, Jl_f, 3, 3), lay, L).reshape(
         L, 3, 3
     ) + (lam + 1e-8) * jnp.eye(3, dtype=Jl_f.dtype)
     Hll_inv = inv3x3(Hll)
     b_c = -reduce_fn(
-        seg_reduce_cam(jnp.einsum("oij,oi->oj", Jc3(), r_w), lay)
+        seg_sum_cam_exact(jnp.einsum("oij,oi->oj", Jc3(), r_w), lay, C)
     )
-    b_l = -seg_reduce_lm(jnp.einsum("oij,oi->oj", Jl3(), r_w), lay)
+    b_l = -seg_sum_lm_exact(jnp.einsum("oij,oi->oj", Jl3(), r_w), lay, L)
 
     free = (~problem.pose_fixed).astype(Jc_f.dtype)[:, None]   # (C, 1)
 
@@ -227,7 +253,8 @@ def _schur_pcg_step(problem: BAProblem, lay: ObsLayout, lam: jnp.ndarray,
         ],
         axis=1,
     )                                                          # (O, 36)
-    corr = reduce_fn(seg_reduce_cam(G, lay).reshape(C, 6, 6))
+    corr = reduce_fn(
+        seg_sum_cam_exact(G, lay, C).reshape(C, 6, 6))
     P = Hcc - corr
     P = jnp.where(problem.pose_fixed[:, None, None], eye6, P)
     # Damped blocks are SPD; a plain inverse is fine at 6x6.

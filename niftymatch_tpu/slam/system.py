@@ -853,6 +853,15 @@ class SlamSystem:
             return self._jit_allpairs_pallas(buf.desc, buf.valid)
         return self._jit_allpairs(buf.desc, buf.valid)
 
+    def _padded_pairs(self, pairs):
+        """Gather both sides of a keyframe-pair list from the store, padded
+        to a power-of-two count (masked later) — ONE dispatch per side."""
+        n = len(pairs)
+        n_pad = 1 << int(np.ceil(np.log2(max(n, 1))))
+        pa = [p[0] for p in pairs] + [0] * (n_pad - n)
+        pb = [p[1] for p in pairs] + [0] * (n_pad - n)
+        return self._store.gather(pa), self._store.gather(pb), n_pad
+
     def match_keyframes(self, pairs) -> np.ndarray:
         """Mutual ratio-test match indices for a list of keyframe index
         pairs [(a, b), ...] in ONE batched dispatch (padded to a power of
@@ -861,20 +870,15 @@ class SlamSystem:
         per-frame ground-truth-consistency metric in the ATE artifact)."""
         if not pairs:
             return np.zeros((0, 0), np.int32)
-        n = len(pairs)
-        n_pad = 1 << int(np.ceil(np.log2(n)))
-        pa = [p[0] for p in pairs] + [0] * (n_pad - n)
-        pb = [p[1] for p in pairs] + [0] * (n_pad - n)
-        fa = self._store.gather(pa)
-        fb = self._store.gather(pb)
-        return np.asarray(self._cand_match(fa, fb))[:n]
+        fa, fb, _ = self._padded_pairs(pairs)
+        return np.asarray(self._cand_match(fa, fb))[: len(pairs)]
 
     def detect_loop_candidates(self, return_matches: bool = False):
         """All-pairs keyframe sweep -> candidate (i, j) pairs (i < j,
         j - i >= loop_min_gap) with enough mutual matches.  With
         ``return_matches``, the candidate pairs (only) are re-matched in
-        ONE batched dispatch (padded to a power-of-two candidate count) so
-        verification never re-matches pair-by-pair."""
+        ONE batched dispatch so verification never re-matches
+        pair-by-pair."""
         K = len(self.keyframes)
         if K < self.config.loop_min_gap + 2:
             return ([], None) if return_matches else []
@@ -887,32 +891,8 @@ class SlamSystem:
             return cands
         if not cands:
             return [], None
-        n = len(cands)
-        n_pad = 1 << int(np.ceil(np.log2(n)))
-        pi = [c[0] for c in cands] + [0] * (n_pad - n)
-        pj = [c[1] for c in cands] + [0] * (n_pad - n)
-        fa = self._store.gather(pi)
-        fb = self._store.gather(pj)
-        cand_idx = np.asarray(self._cand_match(fa, fb))[:n]  # (n, N)
+        cand_idx = self.match_keyframes([(c[0], c[1]) for c in cands])
         return cands, cand_idx
-
-    def finalize(self, rounds: int = 3) -> dict:
-        """Alternate Sim(3) loop closure and global bundle adjustment.
-
-        One closure pass estimates each loop edge's relative scale from
-        the CURRENT map, and the pose-graph/GBA correction then improves
-        that map — so re-detecting and re-closing converges further
-        (measured on the 96-frame golden loop: Sim3 ATE 2.53 single pass
-        -> 0.42 after three rounds).  Stops early when a round accepts no
-        edges and GBA is rejected.  Returns per-round stats."""
-        stats = []
-        for _ in range(rounds):
-            edges = self.close_loops()
-            applied = self.global_ba()
-            stats.append({"loop_edges": int(edges), "global_ba": bool(applied)})
-            if edges == 0 and not applied:
-                break
-        return {"rounds": stats}
 
     def close_loops(self) -> int:
         """Verify loop candidates geometrically, build a Sim(3) pose graph
@@ -930,7 +910,7 @@ class SlamSystem:
         from ..sfm.se3 import se3_compose, se3_inverse
 
         self.flush_ba()
-        cands, cand_idx = self.detect_loop_candidates(return_matches=True)
+        cands = self.detect_loop_candidates()
         K = len(self.keyframes)
         edges_i, edges_j, edges_s, edges_T, weights = [], [], [], [], []
         # Odometry edges from current (BA-refined) consecutive poses —
@@ -949,17 +929,14 @@ class SlamSystem:
             weights.append(1.0)
         accepted = 0
         if cands:
-            # Verify ALL candidates in one vmapped dispatch (RANSAC + pose
-            # on the sweep's own correspondences, j -> i), padded to a
-            # power-of-two candidate count; then one batched fetch.
+            # One gather pair serves BOTH the candidate re-match and the
+            # vmapped verification (RANSAC + pose on those matches), each
+            # a single dispatch padded to a power-of-two candidate count.
             n = len(cands)
-            n_pad = 1 << int(np.ceil(np.log2(n)))
-            pj = [c[0] for c in cands] + [0] * (n_pad - n)
-            pi = [c[1] for c in cands] + [0] * (n_pad - n)
+            fa, fb, n_pad = self._padded_pairs([(c[0], c[1]) for c in cands])
+            cand_idx = np.asarray(self._cand_match(fa, fb))[:n]
             idx_b = np.full((n_pad, cand_idx.shape[1]), -1, cand_idx.dtype)
             idx_b[:n] = cand_idx
-            fa = self._store.gather(pj)
-            fb = self._store.gather(pi)
             tvb = self._two_view_from_b(fa, fb, jnp.asarray(idx_b))
             cand_poses = [self.keyframes[c2].pose
                           for jj, ii, _ in cands for c2 in (jj, ii)]

@@ -92,3 +92,37 @@ def test_cg_respects_pose_gauge():
     np.testing.assert_array_equal(
         np.asarray(solved.poses)[fixed], np.asarray(problem.poses)[fixed]
     )
+
+
+def test_block_sums_exact_vs_prefix_diff():
+    """Adversarial sorted segment sum: a tiny late segment after a huge
+    prefix.  The fp32 prefix-difference loses ~eps * prefix absolute
+    accuracy, which is why the once-per-LM block sums (Hll/Hcc/b/
+    preconditioner) use exact per-segment accumulation instead."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from niftymatch_tpu.sfm.ba_cg import (
+        ObsLayout,
+        _seg_reduce,
+        build_obs_layout,
+        seg_sum_lm_exact,
+    )
+
+    rng = np.random.default_rng(0)
+    O = 1 << 17
+    vals = rng.uniform(1e3, 1e5, size=(O, 1)).astype(np.float32)
+    vals[-16:] = rng.uniform(0.5, 2.0, size=(16, 1)).astype(np.float32)
+    lm = np.zeros(O, np.int32)
+    lm[-16:] = 1
+    cam = np.zeros(O, np.int32)
+    lay = build_obs_layout(jnp.asarray(cam), jnp.asarray(lm), 1, 2)
+    ref = vals[-16:].astype(np.float64).sum()
+
+    exact = float(seg_sum_lm_exact(jnp.asarray(vals), lay, 2)[1, 0])
+    plain = float(
+        _seg_reduce(jnp.asarray(vals), lay.ends_lm)[1, 0]
+    )
+    assert abs(exact - ref) / ref < 1e-5, (exact, ref)
+    # The exact path must beat the prefix-difference on this input.
+    assert abs(exact - ref) <= abs(plain - ref)
