@@ -165,14 +165,23 @@ def smallest_eigvec(A: jnp.ndarray, iterations: int = 8) -> jnp.ndarray:
     seed = np.random.default_rng(12345).normal(size=n).astype(np.float32)
     seed /= np.linalg.norm(seed)
     batch_shape = A.shape[:-2]
-    x = [jnp.broadcast_to(jnp.asarray(v, A.dtype), batch_shape)
-         for v in seed]
-    for _ in range(iterations):
-        x = solve(x)
-        norm = jnp.sqrt(sum(xi * xi for xi in x))
+    x0 = jnp.broadcast_to(
+        jnp.asarray(seed, A.dtype), batch_shape + (n,)
+    )
+
+    # Roll the iterations into a scan: the body stays scalarised (the
+    # n x n structure unrolled into vector ops) but is TRACED ONCE —
+    # unrolling 8 iterations put ~1.6k equations into every RANSAC/
+    # triangulation jaxpr and dominated trace/compile time of the
+    # loop-closure verification programs.
+    def step(x, _):
+        xs = solve([x[..., i] for i in range(n)])
+        norm = jnp.sqrt(sum(xi * xi for xi in xs))
         inv_n = 1.0 / jnp.maximum(norm, 1e-30)
-        x = [xi * inv_n for xi in x]
-    return jnp.stack(x, axis=-1)
+        return jnp.stack([xi * inv_n for xi in xs], axis=-1), None
+
+    x, _ = jax.lax.scan(step, x0, None, length=iterations)
+    return x
 
 
 @f32
