@@ -22,6 +22,7 @@ from .multihost import (
 from .matching import (
     AllPairsMatches,
     allpairs_match,
+    allpairs_match_pallas,
     ring_allpairs_match,
     ring_allpairs_match_counts,
     shard_detect,
@@ -31,6 +32,7 @@ __all__ = [
     "AllPairsMatches",
     "ShardedBAProblem",
     "allpairs_match",
+    "allpairs_match_pallas",
     "distributed_bundle_adjust",
     "distributed_bundle_adjust_cg",
     "initialize_distributed",

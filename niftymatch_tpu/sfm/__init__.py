@@ -4,12 +4,22 @@ Net-new 3-D layer over the reference's 2-D capability set (SURVEY.md §7
 M2/M4; BASELINE configs 2-4)."""
 
 from .ba import BAProblem, BAStats, ba_cost, bundle_adjust, project
+from .ba_cg import bundle_adjust_cg
 from .posegraph import (
     PGOStats,
     PoseGraph,
+    Sim3Graph,
     edge_residual,
     graph_cost,
     optimize_pose_graph,
+    optimize_pose_graph_sim3,
+    sim3_graph_cost,
+)
+from .sim3 import (
+    sim3_apply,
+    sim3_compose,
+    sim3_inverse,
+    sim3_retract,
 )
 from .se3 import (
     hat,
@@ -38,14 +48,22 @@ __all__ = [
     "PGOStats",
     "PoseGraph",
     "PoseRecovery",
+    "Sim3Graph",
     "ba_cost",
     "bundle_adjust",
+    "bundle_adjust_cg",
     "decompose_essential",
     "edge_residual",
     "graph_cost",
     "hat",
     "optimize_pose_graph",
+    "optimize_pose_graph_sim3",
     "project",
+    "sim3_apply",
+    "sim3_compose",
+    "sim3_graph_cost",
+    "sim3_inverse",
+    "sim3_retract",
     "recover_pose",
     "reprojection_error",
     "se3_apply",

@@ -7,9 +7,11 @@ from .frontend import (
     normalize_points,
     triangulate_in_world,
 )
+from .store import FeatureStore
 from .system import Keyframe, SlamConfig, SlamSystem
 
 __all__ = [
+    "FeatureStore",
     "Keyframe",
     "SlamConfig",
     "SlamSystem",
