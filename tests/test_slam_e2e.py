@@ -146,6 +146,10 @@ def test_slam_loop_closure_reduces_drift():
     assert ate_after < ate_before
     scale = np.linalg.norm(gt - gt.mean(0), axis=1).mean()
     assert ate_after < 0.01 * scale
+    # finalize (closure <-> GBA alternation) must run and not regress.
+    fin = slam.finalize(rounds=2)
+    assert fin["rounds"] and "loop_edges" in fin["rounds"][0]
+    assert ate_rmse(slam.trajectory(), gt) <= ate_after * 1.5
 
 
 def test_slam_chunked_matches_per_frame():
