@@ -69,6 +69,12 @@ class SlamConfig:
     loop_min_gap: int = 3
     loop_min_matches: int = 50
     loop_weight: float = 10.0
+    # Verification batch/cap: candidates are verified (dual RANSAC) in
+    # fixed-size vmapped batches; beyond the cap only the best-matched
+    # candidates are kept (vmapping RANSAC over unbounded candidate
+    # counts would exhaust HBM).
+    loop_verify_batch: int = 32
+    max_loop_candidates: int = 96
     # Relocalization: after reloc_after consecutive rejected frames, query
     # the frame against the last reloc_window keyframes in ONE batched
     # dispatch (vmapped slam_step) and re-anchor at the best hit instead of
@@ -946,23 +952,45 @@ class SlamSystem:
             edges_T.append(Z_all[k])
             weights.append(1.0)
         accepted = 0
+        if len(cands) > self.config.max_loop_candidates:
+            # Keep the best-matched candidates: verification vmaps a dual
+            # RANSAC per candidate, which cannot scale unboundedly.
+            cands = sorted(cands, key=lambda c: -c[2])[
+                : self.config.max_loop_candidates
+            ]
+            cands.sort()
         if cands:
             # One gather pair serves BOTH the candidate re-match and the
-            # vmapped verification (RANSAC + pose on those matches), each
-            # a single dispatch padded to a power-of-two candidate count.
-            n = len(cands)
-            fa, fb, n_pad = self._padded_pairs([(c[0], c[1]) for c in cands])
-            cand_idx = np.asarray(self._cand_match(fa, fb))[:n]
-            idx_b = np.full((n_pad, cand_idx.shape[1]), -1, cand_idx.dtype)
-            idx_b[:n] = cand_idx
-            tvb = self._two_view_from_b(fa, fb, jnp.asarray(idx_b))
-            cand_poses = [self.keyframes[c2].pose
-                          for jj, ii, _ in cands for c2 in (jj, ii)]
-            fetched = jax.device_get(
-                (tvb.success, tvb.num_inliers, tvb.points,
-                 tvb.point_valid, tvb.R, tvb.t, cand_poses)
+            # vmapped verification (RANSAC + pose on those matches), in
+            # fixed-size batches (compiled once per batch bucket).
+            B = self.config.loop_verify_batch
+            oks, ninls, ptss, pvs, Rs, ts, idxs = [], [], [], [], [], [], []
+            for lo in range(0, len(cands), B):
+                part = cands[lo:lo + B]
+                fa, fb, n_pad = self._padded_pairs(
+                    [(c[0], c[1]) for c in part]
+                )
+                ci = np.asarray(self._cand_match(fa, fb))
+                idx_b = np.full((n_pad, ci.shape[1]), -1, ci.dtype)
+                idx_b[: len(part)] = ci[: len(part)]
+                tvb = self._two_view_from_b(fa, fb, jnp.asarray(idx_b))
+                got = jax.device_get(
+                    (tvb.success, tvb.num_inliers, tvb.points,
+                     tvb.point_valid, tvb.R, tvb.t)
+                )
+                m = len(part)
+                oks.append(got[0][:m]); ninls.append(got[1][:m])
+                ptss.append(got[2][:m]); pvs.append(got[3][:m])
+                Rs.append(got[4][:m]); ts.append(got[5][:m])
+                idxs.append(ci[:m])
+            ok_b = np.concatenate(oks); ninl_b = np.concatenate(ninls)
+            pts_b = np.concatenate(ptss); pv_b = np.concatenate(pvs)
+            R_b = np.concatenate(Rs); t_b = np.concatenate(ts)
+            cand_idx = np.concatenate(idxs)
+            cand_poses_h = jax.device_get(
+                [self.keyframes[c2].pose
+                 for jj, ii, _ in cands for c2 in (jj, ii)]
             )
-            ok_b, ninl_b, pts_b, pv_b, R_b, t_b, cand_poses_h = fetched
             for c, (j, i, _cnt) in enumerate(cands):  # j < i: edge i -> j
                 if not bool(ok_b[c]) or int(ninl_b[c]) < self.config.loop_min_matches:
                     continue
