@@ -312,6 +312,29 @@ class SlamSystem:
                 )
             )
         )
+
+        def _match_verify(fa, fb, valid_row):
+            # Fused candidate re-match + two-view verification: the match
+            # indices never leave the device between the stages (each
+            # extra fetch/upload is a full tunnel round-trip).
+            idx = _cand_match(fa, fb)
+            idx = jnp.where(valid_row[:, None], idx, -1)
+            tv = jax.vmap(
+                lambda a, b, ix: two_view_from_matches(
+                    a,
+                    b,
+                    MatchResult(
+                        indices=ix,
+                        distances=jnp.zeros_like(ix, jnp.float32),
+                        ratios=jnp.ones_like(ix, jnp.float32),
+                    ),
+                    fx4,
+                    ransac_config=config.ransac,
+                )
+            )(fa, fb, idx)
+            return idx, tv
+
+        self._match_verify_b = jax.jit(_match_verify)
         self._global_ba_jits: dict = {}
         # In-flight windowed-BA landmark update, harvested (one batched
         # fetch) at the start of the next frame.
@@ -870,14 +893,19 @@ class SlamSystem:
 
     def match_keyframes(self, pairs) -> np.ndarray:
         """Mutual ratio-test match indices for a list of keyframe index
-        pairs [(a, b), ...] in ONE batched dispatch (padded to a power of
-        two).  Returns (len(pairs), N) int32 — slot in b matched by slot n
-        of a, -1 if unmatched.  Used by evaluation tooling (e.g. the
-        per-frame ground-truth-consistency metric in the ATE artifact)."""
+        pairs [(a, b), ...], batched ``loop_verify_batch`` pairs per
+        dispatch (an unbounded vmap materialises an N x N distance matrix
+        per pair).  Returns (len(pairs), N) int32 — slot in b matched by
+        slot n of a, -1 if unmatched."""
         if not pairs:
             return np.zeros((0, 0), np.int32)
-        fa, fb, _ = self._padded_pairs(pairs)
-        return np.asarray(self._cand_match(fa, fb))[: len(pairs)]
+        B = self.config.loop_verify_batch
+        outs = []
+        for lo in range(0, len(pairs), B):
+            part = pairs[lo:lo + B]
+            fa, fb, _ = self._padded_pairs(part)
+            outs.append(np.asarray(self._cand_match(fa, fb))[: len(part)])
+        return np.concatenate(outs)
 
     def detect_loop_candidates(self, return_matches: bool = False):
         """All-pairs keyframe sweep -> candidate (i, j) pairs (i < j,
@@ -959,10 +987,10 @@ class SlamSystem:
                 : self.config.max_loop_candidates
             ]
             cands.sort()
+        poses_h = np.asarray(jax.device_get(poses_all))  # one fetch, reused
         if cands:
-            # One gather pair serves BOTH the candidate re-match and the
-            # vmapped verification (RANSAC + pose on those matches), in
-            # fixed-size batches (compiled once per batch bucket).
+            # Fused re-match + verification per fixed-size batch: ONE
+            # dispatch and ONE fetch per batch (compiled once per bucket).
             B = self.config.loop_verify_batch
             oks, ninls, ptss, pvs, Rs, ts, idxs = [], [], [], [], [], [], []
             for lo in range(0, len(cands), B):
@@ -970,27 +998,24 @@ class SlamSystem:
                 fa, fb, n_pad = self._padded_pairs(
                     [(c[0], c[1]) for c in part]
                 )
-                ci = np.asarray(self._cand_match(fa, fb))
-                idx_b = np.full((n_pad, ci.shape[1]), -1, ci.dtype)
-                idx_b[: len(part)] = ci[: len(part)]
-                tvb = self._two_view_from_b(fa, fb, jnp.asarray(idx_b))
+                row_valid = np.zeros((n_pad,), bool)
+                row_valid[: len(part)] = True
+                idx_d, tvb = self._match_verify_b(
+                    fa, fb, jnp.asarray(row_valid)
+                )
                 got = jax.device_get(
-                    (tvb.success, tvb.num_inliers, tvb.points,
+                    (idx_d, tvb.success, tvb.num_inliers, tvb.points,
                      tvb.point_valid, tvb.R, tvb.t)
                 )
                 m = len(part)
-                oks.append(got[0][:m]); ninls.append(got[1][:m])
-                ptss.append(got[2][:m]); pvs.append(got[3][:m])
-                Rs.append(got[4][:m]); ts.append(got[5][:m])
-                idxs.append(ci[:m])
+                idxs.append(got[0][:m])
+                oks.append(got[1][:m]); ninls.append(got[2][:m])
+                ptss.append(got[3][:m]); pvs.append(got[4][:m])
+                Rs.append(got[5][:m]); ts.append(got[6][:m])
+            cand_idx = np.concatenate(idxs)
             ok_b = np.concatenate(oks); ninl_b = np.concatenate(ninls)
             pts_b = np.concatenate(ptss); pv_b = np.concatenate(pvs)
             R_b = np.concatenate(Rs); t_b = np.concatenate(ts)
-            cand_idx = np.concatenate(idxs)
-            cand_poses_h = jax.device_get(
-                [self.keyframes[c2].pose
-                 for jj, ii, _ in cands for c2 in (jj, ii)]
-            )
             for c, (j, i, _cnt) in enumerate(cands):  # j < i: edge i -> j
                 if not bool(ok_b[c]) or int(ninl_b[c]) < self.config.loop_min_matches:
                     continue
@@ -998,8 +1023,8 @@ class SlamSystem:
                 # Scale of the unit-baseline triangulation in EACH frame's
                 # local map: s_j from kf_j's tracks vs unit depths in j,
                 # s_i from kf_i's tracks vs the same points moved to i.
-                pose_j = np.asarray(cand_poses_h[2 * c])
-                pose_i = np.asarray(cand_poses_h[2 * c + 1])
+                pose_j = poses_h[j]
+                pose_i = poses_h[i]
                 s_j = self._scale_vs_unit(
                     kf_j, pts_b[c], pv_b[c], pose_j)
                 pts_i = pts_b[c] @ R_b[c].T + t_b[c]
@@ -1050,12 +1075,15 @@ class SlamSystem:
         out, stats = optimize_pose_graph_sim3(
             graph, iterations=16, damping=1e-4
         )
-        c0, c1, scale_h, poses_h = jax.device_get(
+        c0, c1, scale_o, poses_o = jax.device_get(
             (stats.initial_cost, stats.final_cost, out.scale, out.poses)
         )
-        if float(c1) <= float(c0):
-            self._apply_sim3_correction(np.asarray(scale_h),
-                                        np.asarray(poses_h))
+        if not (float(c1) <= float(c0)):
+            # Optimization rejected: no correction applied, report 0 so
+            # callers (finalize's early-stop) see no progress.
+            return 0
+        self._apply_sim3_correction(np.asarray(scale_o),
+                                    np.asarray(poses_o))
         return accepted
 
     def _scale_vs_unit(self, kf, pts_unit, pv, pose, slot_map=None):

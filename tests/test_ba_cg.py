@@ -103,7 +103,6 @@ def test_block_sums_exact_vs_prefix_diff():
     import jax.numpy as jnp
 
     from niftymatch_tpu.sfm.ba_cg import (
-        ObsLayout,
         _seg_reduce,
         build_obs_layout,
         seg_sum_lm_exact,
