@@ -159,3 +159,21 @@ def test_allpairs_pallas_sweep_hardware(rng):
     # bf16 can flip matches whose ratio sits at the threshold; counts must
     # agree closely, not exactly.
     assert np.abs(ref - got).max() <= max(2, int(0.03 * ref.max()))
+
+
+def test_prepared_path_identical_to_direct(rng):
+    """fused_match_topk_prepared(prepare_descriptors(...)) must equal the
+    direct fused_match_topk call bit-for-bit (fp32, interpret mode)."""
+    from niftymatch_tpu.pallas.match import (
+        fused_match_topk_prepared,
+        prepare_descriptors,
+    )
+
+    a, b = _descs(rng, 100, 200)
+    r1 = fused_match_topk(jnp.asarray(a), jnp.asarray(b),
+                          tm=64, tn=64, interpret=True)
+    pa = prepare_descriptors(jnp.asarray(a), bf16=False)
+    pb = prepare_descriptors(jnp.asarray(b), bf16=False)
+    r2 = fused_match_topk_prepared(pa, pb, tm=64, tn=64, interpret=True)
+    for x, y in zip(r1, r2):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
