@@ -30,10 +30,15 @@ def make_scene(h, w, seed=0):
     return scene
 
 
-def bench_slam_loop(n_frames=56, chunk=16):
+def bench_slam_loop(n_frames=97, chunk=16):
     """Full SLAM loop throughput on rendered frames: detector + two-view
     tracking + triangulation + windowed BA, driven through the chunked
-    dispatch path (one compiled program + one batched fetch per chunk)."""
+    dispatch path (one compiled program + one batched fetch per chunk).
+
+    The store is pre-sized to the run's keyframe count (``store_capacity``),
+    as a production deployment would: otherwise a capacity-doubling
+    re-trace (~0.7 s, amortised O(log K)) lands inside the short timed
+    window and dominates the measurement."""
     import jax
 
     from niftymatch_tpu.config import RansacConfig
@@ -63,6 +68,7 @@ def bench_slam_loop(n_frames=56, chunk=16):
         chunk_size=chunk,
         ba_every=4,
         ba_window=4,
+        store_capacity=256,
     )
     slam = SlamSystem(cfg)
     # Warm-up: two chunks — the first compiles the fused chunk program +

@@ -85,6 +85,12 @@ class SlamConfig:
     # (detection + N sequential SLAM steps) is ONE dispatch + ONE fetch, so
     # tunnel round-trips amortise over chunk_size frames.
     chunk_size: int = 8
+    # Initial FeatureStore capacity (keyframe rows).  The store doubles on
+    # demand (O(log K) amortised re-traces of the grow/scatter/gather
+    # programs); pre-sizing to the expected map size skips those mid-run
+    # pauses entirely — the TPU analogue of the reference pre-allocating
+    # MAX_DESCRIPTORS-capacity SiftData up front (siftdata.h:15).
+    store_capacity: int = 64
 
 
 class Keyframe:
@@ -265,7 +271,10 @@ class SlamSystem:
                 jax.tree.map(lambda a: a[i], fb), poses[i]
             )
         )
-        self._store = FeatureStore(chunk_pad=config.chunk_size)
+        self._store = FeatureStore(
+            init_capacity=config.store_capacity,
+            chunk_pad=config.chunk_size,
+        )
 
         # Cached jitted callables for loop closure / finalisation: building
         # a fresh jax.jit(partial(...)) per call would re-trace every time
