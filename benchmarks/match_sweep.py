@@ -55,10 +55,17 @@ def roofline_s(m: int, n: int, d: int, bf16: bool) -> float:
     return max(flops / mxu, (in_bytes + out_bytes) / HBM_BW)
 
 
-def _slope(run_maker, fresh, fetch0, flops_per_rep, calls=5):
-    """Least-squares slope of wall time vs in-program rep count."""
+def _slope(run_maker, fresh, fetch0, flops_per_rep, calls=5, max_delta=None):
+    """Least-squares slope of wall time vs in-program rep count.
+
+    ``max_delta`` caps the rep spacing: the default targets ~0.3 s of
+    in-program work per call, which at small K means 100k+-iteration
+    scans — fine for the committed sweep artifact, needlessly slow for
+    exploratory microbenchmarks."""
     t_est = flops_per_rep / 120e12
     delta = max(12, int(0.3 / t_est))
+    if max_delta is not None:
+        delta = min(delta, max_delta)
     r0 = max(4, delta // 4)
     rs = [r0, r0 + delta, r0 + 2 * delta]
     runs = [run_maker(r) for r in rs]

@@ -116,17 +116,37 @@ def align_points(
 
 def _sample_weights(key, mask: jnp.ndarray, iterations: int, k: int):
     """(iterations, N) one-hot-sum sample weights: each row selects k
-    distinct valid points via Gumbel-top-k."""
+    distinct valid points via Gumbel-top-k.
+
+    Implemented as a k-step scan of masked argmax-and-knockout rather
+    than ``lax.top_k`` + scatter: the sort and scatter each cost seconds
+    of XLA compile time at verification batch shapes (VERDICT r3 #4),
+    while k broadcast-compare passes compile in milliseconds and select
+    the identical index set (ties broken to the lowest column, and rows
+    with < k valid points end up with < k ones — dropped by the caller's
+    ``live`` guard exactly as the -inf top_k columns were)."""
     n = mask.shape[0]
     g = jax.random.gumbel(key, (iterations, n), dtype=jnp.float32)
     scores = jnp.where(mask[None, :], g, -jnp.inf)
-    _, idx = jax.lax.top_k(scores, k)  # (iterations, k)
-    w = jnp.zeros((iterations, n), jnp.float32)
-    w = w.at[jnp.arange(iterations)[:, None], idx].set(1.0)
-    # If fewer than k valid points exist, top_k picks -inf columns; zero the
-    # whole row (degenerate hypothesis).
-    enough = jnp.sum(mask) >= k
-    return w * mask[None, :].astype(jnp.float32) * enough
+    cols = jax.lax.broadcasted_iota(jnp.int32, (iterations, n), 1)
+
+    def step(carry, _):
+        sc, w = carry
+        m = jnp.max(sc, axis=-1, keepdims=True)
+        hit = (sc == m) & (m > -jnp.inf)
+        # Exact-tie dedup: keep only the lowest hit column.
+        first = jnp.min(
+            jnp.where(hit, cols, jnp.int32(2**30)), axis=-1, keepdims=True
+        )
+        hit = hit & (cols == first)
+        return (jnp.where(hit, -jnp.inf, sc),
+                w + hit.astype(jnp.float32)), None
+
+    (_, w), _ = jax.lax.scan(
+        step, (scores, jnp.zeros((iterations, n), jnp.float32)),
+        None, length=k,
+    )
+    return w
 
 
 @f32

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..utils.precision import f32
@@ -139,20 +140,55 @@ def recover_pose(
     correspondences (normalized coords).  Convention: x_b ~ R x_a + t
     (camera A is the world frame)."""
     R1, R2, t = decompose_essential(E)
-    eye34 = jnp.concatenate([jnp.eye(3, dtype=E.dtype), jnp.zeros((3, 1), E.dtype)], -1)
+    # All four hypotheses ride one candidate axis through ONE triangulation
+    # (the previous per-hypothesis Python unroll compiled triangulate_dlt
+    # four times — seconds of XLA compile per call site, VERDICT r3 #4).
+    Rs = jnp.stack([R1, R1, R2, R2], axis=-3)           # (..., 4, 3, 3)
+    ts = jnp.stack([t, -t, t, -t], axis=-2)             # (..., 4, 3)
+    return _vote_cheirality(Rs, ts, pts_a, pts_b, mask)
 
-    def hypo(R, tt):
-        T_b = jnp.concatenate([R, tt[..., None]], axis=-1)
-        pts = triangulate_dlt(eye34, T_b, pts_a, pts_b)
-        good = (depths(eye34, pts) > 0) & (depths(T_b, pts) > 0) & mask
-        return pts, good, jnp.sum(good.astype(jnp.int32))
 
-    cands = [(R1, t), (R1, -t), (R2, t), (R2, -t)]
-    results = [hypo(R, tt) for R, tt in cands]
-    counts = jnp.stack([r[2] for r in results])
-    best = jnp.argmax(counts)
-    pts = jnp.stack([r[0] for r in results])[best]
-    good = jnp.stack([r[1] for r in results])[best]
-    Rs = jnp.stack([c[0] for c in cands])[best]
-    ts = jnp.stack([c[1] for c in cands])[best]
-    return PoseRecovery(R=Rs, t=ts, points=pts, cheirality=good, num_good=counts[best])
+@f32
+def _vote_cheirality(
+    Rs: jnp.ndarray,      # (..., K, 3, 3) candidate rotations
+    ts: jnp.ndarray,      # (..., K, 3) candidate translations (unit)
+    pts_a: jnp.ndarray,   # (..., N, 2)
+    pts_b: jnp.ndarray,   # (..., N, 2)
+    mask: jnp.ndarray,    # (..., N) bool
+) -> PoseRecovery:
+    """Triangulate every candidate (R, t) in one batched DLT and pick the
+    one maximising both-camera positive depths.  Shared by essential and
+    homography pose recovery."""
+    k = Rs.shape[-3]
+    n = pts_a.shape[-2]
+    dtype = Rs.dtype
+    eye34 = jnp.concatenate(
+        [jnp.eye(3, dtype=dtype), jnp.zeros((3, 1), dtype)], -1
+    )
+    T_b = jnp.concatenate([Rs, ts[..., None]], axis=-1)  # (..., K, 3, 4)
+    T_b_e = T_b[..., :, None, :, :]                      # (..., K, 1, 3, 4)
+    pa = jnp.broadcast_to(pts_a[..., None, :, :], (*Rs.shape[:-2], n, 2))
+    pb = jnp.broadcast_to(pts_b[..., None, :, :], (*Rs.shape[:-2], n, 2))
+    pts = triangulate_dlt(eye34, T_b_e, pa, pb)          # (..., K, N, 3)
+    good = (
+        (depths(eye34, pts) > 0)
+        & (depths(T_b, pts) > 0)
+        & mask[..., None, :]
+    )
+    counts = jnp.sum(good.astype(jnp.int32), axis=-1)    # (..., K)
+    best = jnp.argmax(counts, axis=-1)
+    # One-hot selection (a length-K gather compiles to a slow generic
+    # gather at these batch shapes; K is tiny and static).
+    oh = (
+        jax.lax.broadcasted_iota(jnp.int32, counts.shape, counts.ndim - 1)
+        == best[..., None]
+    )
+    ohf = oh.astype(dtype)
+    R = jnp.sum(ohf[..., None, None] * Rs, axis=-3)
+    tt = jnp.sum(ohf[..., None] * ts, axis=-2)
+    pts_w = jnp.sum(ohf[..., None, None] * pts, axis=-3)
+    good_w = jnp.sum(jnp.where(oh[..., None], good, False), axis=-2)
+    num = jnp.sum(jnp.where(oh, counts, 0), axis=-1)
+    return PoseRecovery(
+        R=R, t=tt, points=pts_w, cheirality=good_w, num_good=num
+    )
