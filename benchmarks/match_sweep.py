@@ -85,7 +85,8 @@ def _slope(run_maker, fresh, fetch0, flops_per_rep, calls=5, max_delta=None):
 
 
 def bench_single(k: int, d: int, bf16: bool, seed: int = 0,
-                 tm: int | None = None, tn: int | None = None):
+                 tm: int | None = None, tn: int | None = None,
+                 mc: int | None = None, max_delta: int | None = None):
     """Steady-state per-pair kernel time on PREPARED descriptors (the K^2
     sweep shape: prepare once per keyframe, match K^2 times).  The scan
     perturbs the B-norm vector with the previous iteration's result —
@@ -99,6 +100,8 @@ def bench_single(k: int, d: int, bf16: bool, seed: int = 0,
         kw["tm"] = tm
     if tn is not None:
         kw["tn"] = tn
+    if mc is not None:
+        kw["mc"] = mc
 
     def run_maker(reps):
         @jax.jit
@@ -118,7 +121,8 @@ def bench_single(k: int, d: int, bf16: bool, seed: int = 0,
         return jax.block_until_ready(
             jnp.asarray(rng.random((k, d), np.float32)))
 
-    t = _slope(run_maker, fresh, lambda o: o[0], 2.0 * k * k * d)
+    t = _slope(run_maker, fresh, lambda o: o[0], 2.0 * k * k * d,
+               max_delta=max_delta)
     return _row(k, d, bf16, t, mode="single")
 
 
@@ -169,12 +173,17 @@ def main():
     ap.add_argument("--d", type=int, default=128)
     ap.add_argument("--tm", type=int, default=None)
     ap.add_argument("--tn", type=int, default=None)
+    ap.add_argument("--mc", type=int, default=None)
+    ap.add_argument("--quick", action="store_true",
+                    help="small rep counts for tile tuning")
     ap.add_argument("--write", action="store_true")
     args = ap.parse_args()
 
     rows = []
     for k in args.sizes:
-        row = bench_single(k, args.d, True, tm=args.tm, tn=args.tn)
+        row = bench_single(k, args.d, True, tm=args.tm, tn=args.tn,
+                           mc=args.mc,
+                           max_delta=1024 if args.quick else None)
         rows.append(row)
         print(json.dumps(row))
         if k <= 4096:  # real small-K workloads are batched (ring sweep)

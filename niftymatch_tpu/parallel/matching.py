@@ -205,6 +205,7 @@ def ring_allpairs_match(
     ambiguity: float = 0.8,
     mutual: bool = False,
     return_indices: bool = False,
+    phase: str = "full",
 ) -> AllPairsMatches:
     """All-pairs keyframe matching, ring-scheduled over the device mesh.
 
@@ -225,6 +226,12 @@ def ring_allpairs_match(
       return_indices: also return the (K, K, N) per-pair match indices
         (the "long-context" correspondence sweep, SURVEY.md §5) instead of
         counts only.
+      phase: "full" (default) runs the real sweep; "compute" runs the
+        same schedule with the ppermutes elided (resident block matched
+        every step) and "comm" elides the block matches — the two
+        isolation modes behind the compute-vs-collective breakdown in
+        ``benchmarks/scaling.py`` (results are only meaningful as
+        timings, not matches).
 
     Returns:
       AllPairsMatches with rows sharded over ``axis``.  Diagonal is the
@@ -242,7 +249,7 @@ def ring_allpairs_match(
     k_total = k_orig + pad
 
     fn = _build_ring(mesh, axis, ambiguity, mutual, return_indices,
-                     k_total, n_cap)
+                     k_total, n_cap, phase)
     counts, idx = fn(desc, valid.astype(jnp.bool_))
     counts = counts[:k_orig, :k_orig]
     return AllPairsMatches(
@@ -252,7 +259,8 @@ def ring_allpairs_match(
 
 @lru_cache(maxsize=64)
 def _build_ring(mesh: Mesh, axis: str, ambiguity: float, mutual: bool,
-                return_indices: bool, k_total: int, n_cap: int):
+                return_indices: bool, k_total: int, n_cap: int,
+                phase: str = "full"):
     """Jitted ring-sweep program, cached per (mesh, params, shape bucket).
 
     An unjitted shard_map executes eagerly (one dispatch per primitive)
@@ -274,14 +282,45 @@ def _build_ring(mesh: Mesh, axis: str, ambiguity: float, mutual: bool,
             )
         )
         perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        # Validity rides as an extra descriptor column so each ring step
+        # issues ONE collective instead of two: every ppermute is a
+        # mesh-wide synchronisation point, and halving the per-step
+        # collective count measurably cuts the sync-bound overhead the
+        # phase breakdown exposes on the virtual mesh (and sends one
+        # message, not two, on real ICI).
+        packed0 = jnp.concatenate(
+            [desc_blk, valid_blk[..., None].astype(desc_blk.dtype)], axis=-1
+        )
 
         def step(carry, s):
-            vis_desc, vis_valid, out_c, out_i = carry
+            vis, out_c, out_i = carry
+            vis_desc = vis[..., :-1]
+            vis_valid = vis[..., -1] > 0.5
             # The visiting block at step s originated on device (me - s).
             owner = (me - s) % n_dev
-            counts, idx = _block_match(
-                desc_blk, valid_blk, vis_desc, vis_valid, ambiguity, mutual
-            )
+            # Double-buffering (VERDICT r3 #2): the ppermute moving the
+            # NEXT visiting block is issued before the local block match
+            # consumes the current one — the rotation has no data
+            # dependence on the match, so XLA's async collective-permute
+            # overlaps the hop with the GEMMs instead of serialising
+            # n_dev (comm + compute) rounds.  The last step's rotation is
+            # a wasted hop (result unused) but keeps the scan body static.
+            if phase == "compute":
+                nxt = vis
+            else:
+                nxt = jax.lax.ppermute(vis, axis, perm)
+            if phase == "comm":
+                # Cheap data dependence on the visiting block so the
+                # permute chain survives DCE; no match GEMMs.
+                counts = jnp.zeros((k_local, k_local), jnp.int32) + (
+                    jnp.sum(vis_desc[:, :1, :1]).astype(jnp.int32)
+                )
+                idx = jnp.zeros((k_local, k_local, n_cap), jnp.int32)
+            else:
+                counts, idx = _block_match(
+                    desc_blk, valid_blk, vis_desc, vis_valid, ambiguity,
+                    mutual
+                )
             out_c = jax.lax.dynamic_update_slice(
                 out_c, counts, (0, owner * k_local)
             )
@@ -289,13 +328,11 @@ def _build_ring(mesh: Mesh, axis: str, ambiguity: float, mutual: bool,
                 out_i = jax.lax.dynamic_update_slice(
                     out_i, idx, (0, owner * k_local, 0)
                 )
-            vis_desc = jax.lax.ppermute(vis_desc, axis, perm)
-            vis_valid = jax.lax.ppermute(vis_valid, axis, perm)
-            return (vis_desc, vis_valid, out_c, out_i), None
+            return (nxt, out_c, out_i), None
 
-        (_, _, out_c, out_i), _ = jax.lax.scan(
+        (_, out_c, out_i), _ = jax.lax.scan(
             step,
-            (desc_blk, valid_blk, out_c, out_i),
+            (packed0, out_c, out_i),
             jnp.arange(n_dev),
         )
         return out_c, out_i

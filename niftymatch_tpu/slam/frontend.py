@@ -321,14 +321,22 @@ def slam_chunk(
             min_scale_obs,
         )
         accept = out.success & (out.num_inliers >= min_inliers)
-        # New keyframe's world context: scatter this frame's triangulated
-        # points into the slots its matches landed in (mode="drop" discards
-        # the sentinel target used for unmatched/invalid slots).
+        # New keyframe's world context: scatter world points into the
+        # slots its matches landed in (mode="drop" discards the sentinel
+        # target used for unmatched/invalid slots).  A slot whose A-side
+        # already carried a landmark KEEPS that landmark's position —
+        # only genuinely new tracks take this frame's triangulation
+        # (VERDICT r3 #5 scale anchoring: re-triangulating re-observed
+        # landmarks every frame re-chains the monocular scale and
+        # compounds the per-step median bias into multiplicative drift;
+        # mirrors the host path's _propagate_tracks fix).
         cap = world.shape[0]
-        sel = out.points_valid & out.inliers & (out.indices >= 0)
+        matched = out.inliers & (out.indices >= 0)
+        sel = matched & (has | out.points_valid)
         tgt = jnp.where(sel, out.indices, cap)
+        carried = jnp.where(has[:, None], world, out.points_w)
         new_world = jnp.zeros_like(world).at[tgt].set(
-            out.points_w, mode="drop"
+            carried, mode="drop"
         )
         new_has = (
             jnp.zeros_like(has)

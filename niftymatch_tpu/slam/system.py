@@ -775,8 +775,18 @@ class SlamSystem:
     ) -> int:
         """Assign track IDs to the new keyframe's slots from the fused
         step's (already-fetched) triangulation.  Vectorised host
-        bookkeeping — no device access at all."""
-        sel = np.nonzero(valid_w & inl & (m_idx >= 0))[0]
+        bookkeeping — no device access at all.
+
+        Scale anchoring (VERDICT r3 #5): an EXISTING track keeps its
+        stored (BA-refined) world position — only newly-minted tracks
+        take this frame's triangulation.  Overwriting re-observed
+        landmarks with the current frame's unit-baseline re-triangulation
+        re-chained the monocular scale frame-to-frame, compounding the
+        per-step median bias into the 2.5-7x drift ATE_r03 recorded
+        (sim3_scale 0.39/0.15); anchoring to the oldest surviving
+        landmarks stops the chain."""
+        has_old = last.track_ids >= 0
+        sel = np.nonzero(inl & (m_idx >= 0) & (valid_w | has_old))[0]
         if sel.size == 0:
             return 0
         tids = last.track_ids[sel].copy()
@@ -786,18 +796,21 @@ class SlamSystem:
         n_new = min(
             len(need), self.track_positions.shape[0] - self._next_track
         )
+        minted = np.zeros_like(tids, bool)
         if n_new > 0:
             new_ids = np.arange(
                 self._next_track, self._next_track + n_new, dtype=np.int64
             )
             tids[need[:n_new]] = new_ids
+            minted[need[:n_new]] = True
             self._next_track += n_new
         keep = tids >= 0
         sel = sel[keep]
         tids = tids[keep]
+        minted = minted[keep]
         last.track_ids[sel] = tids
         kf.track_ids[m_idx[sel]] = tids
-        self.track_positions[tids] = pts_w[sel]
+        self.track_positions[tids[minted]] = pts_w[sel[minted]]
         self.track_alive[tids] = True
         return int(sel.size)
 
