@@ -46,7 +46,7 @@ sys.path.insert(0, REPO)
 
 def write_golden_clip(root: str, n_frames: int, seed: int = 0,
                       closed: bool = True, exposure_drift: float = 0.0,
-                      blur_gaps=()):
+                      blur_gaps=(), noise_gaps=()):
     """Render the deterministic golden clip into a TUM-layout directory."""
     import jax.numpy as jnp
 
@@ -89,6 +89,14 @@ def write_golden_clip(root: str, n_frames: int, seed: int = 0,
             f = np.apply_along_axis(
                 lambda c: np.convolve(c, k, mode="same"), 0, f)
             frames[i] = f
+    for lo, hi in noise_gaps:
+        # Total signal dropout (sensor fault / occlusion): pure noise
+        # frames that CANNOT track, forcing the relocalization path
+        # (VERDICT r3 #8: the hard clip's defocus gaps still tracked,
+        # so reloc-load throughput was never measured).
+        rng_n = np.random.default_rng(1234 + lo)
+        for i in range(lo, min(hi, n_frames)):
+            frames[i] = rng_n.uniform(0, 255, frames[i].shape)
     os.makedirs(os.path.join(root, "rgb"), exist_ok=True)
     times = 1000.0 + np.arange(n_frames) * (1.0 / 30.0)
     with open(os.path.join(root, "rgb.txt"), "w") as f:
@@ -162,7 +170,7 @@ def gt_consistency(slam, scene, kept: list) -> dict:
 
 def run_variant(name: str, n_frames: int, chunk: int, seed: int,
                 workdir: str | None, exposure_drift: float = 0.0,
-                blur_gaps=()) -> dict:
+                blur_gaps=(), noise_gaps=()) -> dict:
     import jax
 
     from niftymatch_tpu.config import RansacConfig
@@ -178,6 +186,7 @@ def run_variant(name: str, n_frames: int, chunk: int, seed: int,
     scene = write_golden_clip(
         root, n_frames, seed,
         closed=True, exposure_drift=exposure_drift, blur_gaps=blur_gaps,
+        noise_gaps=noise_gaps,
     )
     seq = load_sequence(root)
     n = len(seq.rgb_paths)
@@ -233,6 +242,7 @@ def run_variant(name: str, n_frames: int, chunk: int, seed: int,
     # Loop closure (BASELINE config 4): sweep -> verify -> pose graph.
     t_lc = time.perf_counter()
     loops = slam.close_loops()
+    lc_stages = dict(getattr(slam, "last_closure_stages", {}))  # first call
     traj_lc = slam.trajectory()
     lc_s = time.perf_counter() - t_lc
 
@@ -255,6 +265,26 @@ def run_variant(name: str, n_frames: int, chunk: int, seed: int,
 
     est = traj[ia]
     _, scale = sim3_align(est, gt)
+    # Monocular scale diagnostics.  ``sim3_scale`` is dominated by the
+    # arbitrary GAUGE (the first pair's unit-baseline convention makes it
+    # ~ 2*pi*R/N for this orbit clip by construction — 0.393 at 96
+    # frames); actual scale DRIFT is the evolution of the per-step
+    # baseline ratio est/gt along the run, summarised as the ratio of
+    # its last-decile median to its first-decile median (1.0 = no
+    # drift).  VERDICT r3 #5's "scale drift" target is about this
+    # quantity, pre-closure.
+    def _step_ratio_drift(e):
+        be = np.linalg.norm(np.diff(e, axis=0), axis=1)
+        bg = np.linalg.norm(np.diff(gt, axis=0), axis=1)
+        ok = bg > 1e-9
+        r = be[ok] / bg[ok]
+        k = max(3, len(r) // 10)
+        a = np.median(r[:k])
+        b = np.median(r[-k:])
+        return float(b / max(a, 1e-12))
+
+    drift_pre = _step_ratio_drift(traj_vo[ia])
+    drift_final = _step_ratio_drift(est)
     result = {
         "variant": name,
         "clip": "golden-rendered-closed-loop",
@@ -272,8 +302,13 @@ def run_variant(name: str, n_frames: int, chunk: int, seed: int,
         "ate_rmse_se3": round(
             ate_rmse(est, gt, align=True, with_scale=False), 6),
         "sim3_scale": round(scale, 6),
+        "gauge_scale_expected": round(
+            float(np.median(np.linalg.norm(np.diff(gt, axis=0), axis=1))), 4),
+        "scale_drift_pre_closure": round(drift_pre, 4),
+        "scale_drift_final": round(drift_final, 4),
         "rpe_rmse_sim3": round(rpe_rmse(est, gt, align=True), 6),
         "loop_closure_s": round(lc_s, 2),
+        "loop_closure_stages": lc_stages,
         "global_ba": bool(gba_applied),
         "global_ba_total_s": round(gba_total_s, 2),
         "global_ba_solve_s": round(gba_solve_s, 2),
@@ -324,6 +359,8 @@ def main():
             "hard", hf, args.chunk, args.seed + 1, None,
             exposure_drift=0.25,
             blur_gaps=((hf // 3, hf // 3 + 3), (2 * hf // 3, 2 * hf // 3 + 3)),
+            noise_gaps=((2 * hf // 5, 2 * hf // 5 + 3),
+                        (4 * hf // 5, 4 * hf // 5 + 3)),
         )
         print(json.dumps(result["hard"]))
 

@@ -20,7 +20,16 @@ pairs) because that is the real workload shape there: the O(K^2) ring
 sweep and SLAM chunk pipeline match many small pairs per dispatch, and a
 single small pair cannot amortise per-kernel fixed costs on any backend.
 
-Writes MATCH_r03.json at the repo root when run with --write.
+Writes MATCH_r{N}.json at the repo root when run with --write (round
+from GRAFT_ROUND or --out-round; rows are flushed to disk per point as
+they complete, so a partial run still leaves a valid artifact).
+
+Expected wall time on the tunnelled v5e: ~20-30 min for the default
+4-size sweep (each point compiles 3 scan programs through the remote-
+compile tunnel; the FIRST dispatch of a large program can stall for
+minutes — a 4096^2 first execution was once observed to take 265 s —
+before steady-state millisecond dispatches).  Use --quick for a ~3x
+faster, slightly noisier sweep.
 """
 
 from __future__ import annotations
@@ -177,7 +186,38 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="small rep counts for tile tuning")
     ap.add_argument("--write", action="store_true")
+    ap.add_argument("--out-round", type=int,
+                    default=int(os.environ.get("GRAFT_ROUND", 4)))
     args = ap.parse_args()
+
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), f"MATCH_r{args.out_round:02d}.json")
+    t_start = time.time()
+
+    def flush(rows):
+        if not args.write:
+            return
+        out = {
+            "device": str(jax.devices()[0]),
+            "mxu_bf16_flops": MXU_BF16,
+            "mxu_fp32_flops": MXU_FP32,
+            "hbm_bw": HBM_BW,
+            "method": "3-point slope over in-program rep counts; distinct "
+                      "buffers per dispatch; fetch-forced",
+            "note": "pct_roofline counts GEMM FLOPs only.  FOLD_MICRO.json "
+                    "decomposes the small-K gap: at 1k-batched the "
+                    "GEMM-only kernel (no fold) already costs 2.26us/pair "
+                    "= 60% of roofline (DMA + kernel entry), a single "
+                    "min-reduce fold pass adds 1.75us, and the full top-2 "
+                    "fold ~3.3us; a software-pipelined variant shows the "
+                    "VPU fold does NOT dual-issue with the MXU stream, so "
+                    "the fold cost is additive at small K and overlaps "
+                    "only via deeper grids at large K (67-72%).",
+            "partial_wall_s": round(time.time() - t_start, 1),
+            "rows": rows,
+        }
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=1)
 
     rows = []
     for k in args.sizes:
@@ -186,37 +226,21 @@ def main():
                            max_delta=1024 if args.quick else None)
         rows.append(row)
         print(json.dumps(row))
+        flush(rows)
         if k <= 4096:  # real small-K workloads are batched (ring sweep)
             nb = max(2, 16384 // k)
             row = bench_batched(k, args.d, nb, True)
             rows.append(row)
             print(json.dumps(row))
+            flush(rows)
         if args.fp32:
             row = bench_single(k, args.d, False, tm=args.tm, tn=args.tn)
             rows.append(row)
             print(json.dumps(row))
+            flush(rows)
 
     if args.write:
-        out = {
-            "device": str(jax.devices()[0]),
-            "mxu_bf16_flops": MXU_BF16,
-            "mxu_fp32_flops": MXU_FP32,
-            "hbm_bw": HBM_BW,
-            "method": "3-point slope over in-program rep counts; distinct "
-                      "buffers per dispatch; fetch-forced",
-            "note": "pct_roofline counts GEMM FLOPs only.  The fused "
-                    "top-2 fold adds ~8 VPU ops per distance entry "
-                    "(~2.4us per 1k-pair vs 1.4us of MXU work), which "
-                    "bounds small-K utilisation near 30% regardless of "
-                    "batching; at large K the fold overlaps the deeper "
-                    "MXU pipeline (70%).  An unfused formulation would "
-                    "be HBM-bound far below either number.",
-            "rows": rows,
-        }
-        with open(os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), "MATCH_r03.json"), "w") as f:
-            json.dump(out, f, indent=1)
-        print("wrote MATCH_r03.json")
+        print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

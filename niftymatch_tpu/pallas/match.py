@@ -108,11 +108,14 @@ def _match_kernel(
 
     @pl.when(j == nj - 1)
     def _flush():
-        for c in range(nc):
-            sl = slice(c * mc, (c + 1) * mc)
-            min1_ref[0, 0:1, sl] = m1_s[:, c:c+1].T
-            idx1_ref[0, 0:1, sl] = i1_s[:, c:c+1].T
-            min2_ref[0, 0:1, sl] = m2_s[:, c:c+1].T
+        # Straight scratch copy in (MC, NC) block layout; the caller
+        # un-blocks with one tiny XLA transpose+reshape.  The previous
+        # flush transposed each (MC, 1) scratch column into lanes —
+        # 3 * NC sublane->lane shuffles per A-tile, a measurable fixed
+        # cost at small K where the flush runs once per pair.
+        min1_ref[0] = m1_s[:]
+        idx1_ref[0] = i1_s[:]
+        min2_ref[0] = m2_s[:]
 
 
 def _pad_to(x: jnp.ndarray, size: int, axis: int, value):
@@ -182,17 +185,17 @@ def _fused_call(a, b, bn, a_norm, m, tm, tn, mc, interpret):
             pl.BlockSpec((1, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, tm), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, mc, nc), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tm), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, mc, nc), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tm), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, mc, nc), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((mp // tm, 1, tm), jnp.float32),
-            jax.ShapeDtypeStruct((mp // tm, 1, tm), jnp.int32),
-            jax.ShapeDtypeStruct((mp // tm, 1, tm), jnp.float32),
+            jax.ShapeDtypeStruct((mp // tm, mc, nc), jnp.float32),
+            jax.ShapeDtypeStruct((mp // tm, mc, nc), jnp.int32),
+            jax.ShapeDtypeStruct((mp // tm, mc, nc), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((mc, nc), jnp.float32),
@@ -208,9 +211,12 @@ def _fused_call(a, b, bn, a_norm, m, tm, tn, mc, interpret):
         ),
         interpret=interpret,
     )(a, b, bn)
-    min1 = min1.reshape(mp)
-    idx1 = idx1.reshape(mp)
-    min2 = min2.reshape(mp)
+    # Un-block (mi, MC, NC) -> (mp,): global row = i*tm + c*mc + row, so
+    # transpose the (row, chunk) axes before flattening (tiny XLA op,
+    # replaces the kernel's former per-column sublane->lane transposes).
+    min1 = min1.transpose(0, 2, 1).reshape(mp)
+    idx1 = idx1.transpose(0, 2, 1).reshape(mp)
+    min2 = min2.transpose(0, 2, 1).reshape(mp)
 
     # Add ||a||^2 back (constant per row: cannot change argmin/ordering),
     # clamp fp rounding below zero.  No-valid rows stay above _NOVALID

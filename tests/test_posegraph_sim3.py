@@ -262,7 +262,7 @@ def test_sim3_cg_scales_to_1000_nodes():
         node_fixed=jnp.asarray(fixed),
     )
     out, stats = optimize_pose_graph_sim3_cg(
-        g, iterations=24, damping=1e-4, cg_iterations=128
+        g, iterations=40, damping=1e-4, cg_iterations=192
     )
     assert float(stats.final_cost) < float(stats.initial_cost) * 0.05, (
         float(stats.initial_cost), float(stats.final_cost))
