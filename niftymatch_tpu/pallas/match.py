@@ -78,6 +78,7 @@ def _match_kernel(
     b = b_ref[:]
     bnorm = bnorm_ref[:]
 
+    t1s, ti1s, t2s = [], [], []
     for c in range(nc):  # static chunk count: unrolled, static slices
         a = a_ref[c * mc:(c + 1) * mc, :]                    # (MC, D)
         ab = jax.lax.dot_general(
@@ -94,17 +95,25 @@ def _match_kernel(
         first_min_col = jnp.min(
             jnp.where(is_min, cols, jnp.int32(2**30)), axis=-1, keepdims=True
         )
-        ti1 = first_min_col + j * tn                         # global index
+        t1s.append(t1)
+        ti1s.append(first_min_col + j * tn)                  # global index
         d2 = jnp.where(cols == first_min_col, _BIG, d)
-        t2 = jnp.min(d2, axis=-1, keepdims=True)
+        t2s.append(jnp.min(d2, axis=-1, keepdims=True))
 
-        # Merge chunk top-2 into the running top-2 (branchless).
-        m1, i1, m2 = m1_s[:, c:c+1], i1_s[:, c:c+1], m2_s[:, c:c+1]
-        better = t1 < m1
-        m1_s[:, c:c+1] = jnp.where(better, t1, m1)
-        i1_s[:, c:c+1] = jnp.where(better, ti1, i1)
-        m2_s[:, c:c+1] = jnp.where(
-            better, jnp.minimum(m1, t2), jnp.minimum(m2, t1))
+    # ONE vectorised merge of all chunks' candidates into the running
+    # top-2 (each chunk is a distinct row group -> lane-packed columns
+    # of the (MC, NC) scratch).  Merging per chunk on (MC, 1) slices
+    # cost ~6 single-lane VPU ops per chunk; batched across lanes the
+    # merge is 6 ops on the whole (MC, NC) tile.
+    cand1 = jnp.concatenate(t1s, axis=1)                     # (MC, NC)
+    candi = jnp.concatenate(ti1s, axis=1)
+    cand2 = jnp.concatenate(t2s, axis=1)
+    m1, i1, m2 = m1_s[:], i1_s[:], m2_s[:]
+    better = cand1 < m1
+    m1_s[:] = jnp.where(better, cand1, m1)
+    i1_s[:] = jnp.where(better, candi, i1)
+    m2_s[:] = jnp.where(
+        better, jnp.minimum(m1, cand2), jnp.minimum(m2, cand1))
 
     @pl.when(j == nj - 1)
     def _flush():

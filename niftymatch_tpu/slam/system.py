@@ -345,6 +345,8 @@ class SlamSystem:
 
         self._match_verify_b = jax.jit(_match_verify)
         self._global_ba_jits: dict = {}
+        # Jitted Sim(3) pose-graph solvers per (node, edge, solver) bucket.
+        self._pgo_jits: dict = {}
         # In-flight windowed-BA landmark update, harvested (one batched
         # fetch) at the start of the next frame.
         self._pending_ba = None
@@ -1099,12 +1101,18 @@ class SlamSystem:
         _mark("verify_s")
         if accepted == 0:
             return 0
-        fixed = np.zeros(K, bool)
-        fixed[0] = True
-        # Pad the edge table to a power of two (masked by edge_valid) so
-        # the optimizer compiles per bucket, not per accepted-edge count.
+        # Pad BOTH tables to powers of two — edges masked by edge_valid,
+        # nodes as fixed disconnected dummies (identity rows in either
+        # solver) — so the jitted optimizer compiles once per
+        # (node bucket, edge bucket, solver), not per closure.  The
+        # previous EAGER call dispatched the optimizer op-by-op through
+        # the accelerator tunnel: 21 s of the 43 s first-closure wall
+        # time was this one stage (ATE r4 stage breakdown).
         E = len(weights)
         E_pad = 1 << int(np.ceil(np.log2(max(E, 8))))
+        K_pad = 1 << int(np.ceil(np.log2(max(K, 16))))
+        fixed = np.ones(K_pad, bool)
+        fixed[1:K] = False
         ei = np.zeros(E_pad, np.int32); ei[:E] = edges_i
         ej = np.zeros(E_pad, np.int32); ej[:E] = edges_j
         es = np.ones(E_pad, np.float32); es[:E] = edges_s
@@ -1112,9 +1120,12 @@ class SlamSystem:
         eT[:E] = np.stack(edges_T)
         ew = np.zeros(E_pad, np.float32); ew[:E] = weights
         ev = np.zeros(E_pad, bool); ev[:E] = True
+        poses_pad = np.tile(np.eye(3, 4, dtype=np.float32), (K_pad, 1, 1))
+        poses_pad[:K] = np.stack([
+            np.asarray(kf.pose) for kf in self.keyframes])
         graph = Sim3Graph(
-            scale=jnp.ones(K),
-            poses=jnp.stack([kf.pose for kf in self.keyframes]),
+            scale=jnp.ones(K_pad),
+            poses=jnp.asarray(poses_pad),
             edge_i=jnp.asarray(ei),
             edge_j=jnp.asarray(ej),
             edge_s=jnp.asarray(es),
@@ -1123,23 +1134,37 @@ class SlamSystem:
             edge_valid=jnp.asarray(ev),
             node_fixed=jnp.asarray(fixed),
         )
-        if K >= 384:
-            # Dense 7Nx7N assembly is O(K^2) memory / O(K^3) solve; above
-            # a few hundred keyframes switch to the matrix-free block-
-            # sparse CG solver (O(K + E) memory, same LM schedule —
-            # agreement tested in test_posegraph_sim3.py).
-            from ..sfm.posegraph import optimize_pose_graph_sim3_cg
+        use_cg = K_pad >= 512
+        key = (K_pad, E_pad, use_cg)
+        solver = self._pgo_jits.get(key)
+        if solver is None:
+            from ..sfm.posegraph import (
+                optimize_pose_graph_sim3_cg as _cg_opt,
+            )
 
-            out, stats = optimize_pose_graph_sim3_cg(
-                graph, iterations=16, damping=1e-4,
-                cg_iterations=max(64, min(256, 2 * K // 10)),
-            )
-        else:
-            out, stats = optimize_pose_graph_sim3(
-                graph, iterations=16, damping=1e-4
-            )
+            if use_cg:
+                # Dense 7Nx7N assembly is O(K^2) memory / O(K^3) solve;
+                # above a few hundred keyframes use the matrix-free
+                # block-sparse CG solver (O(K + E) memory, same LM
+                # schedule — agreement tested in test_posegraph_sim3.py).
+                solver = jax.jit(
+                    partial(
+                        _cg_opt, iterations=16, damping=1e-4,
+                        cg_iterations=max(64, min(256, K_pad // 5)),
+                    )
+                )
+            else:
+                solver = jax.jit(
+                    partial(
+                        optimize_pose_graph_sim3,
+                        iterations=16, damping=1e-4,
+                    )
+                )
+            self._pgo_jits[key] = solver
+        out, stats = solver(graph)
         c0, c1, scale_o, poses_o = jax.device_get(
-            (stats.initial_cost, stats.final_cost, out.scale, out.poses)
+            (stats.initial_cost, stats.final_cost,
+             out.scale[:K], out.poses[:K])
         )
         _mark("posegraph_s")
         if not (float(c1) <= float(c0)):
