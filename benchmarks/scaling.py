@@ -1,29 +1,61 @@
-"""Scaling-efficiency harness: ring matching + distributed BA vs mesh size.
+"""Multi-device scaling benchmark on the virtual CPU mesh (SURVEY.md §5).
 
-Runs the two collective workloads on meshes of 1..N devices and reports
-throughput + parallel efficiency (BASELINE.md: >= 80% on a 2-host slice).
-On a single TPU chip this runs on the virtual CPU mesh
-(``XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu``)
-to validate the scaling *structure*; on real slices the same script
-measures real ICI/DCN scaling (run once per slice size).
+Measures ring all-pairs matching and the two distributed BA solvers at
+mesh sizes 1..8 and reports speedup + efficiency per size, writing
+SCALING_r{N}.json (env ``SCALING_OUT``).
 
-Usage: python benchmarks/scaling.py [max_devices]
+Methodology — core-pinned subprocess per point (VERDICT r3 #2 / r4):
+the virtual devices of ``--xla_force_host_platform_device_count=N`` all
+SHARE the host's physical cores, and a single "1-device" XLA CPU run
+already multithreads its ops across every core (measured 3.9x on the
+4-core benchmark host).  Wall-clock "efficiency" computed against that
+baseline is therefore structurally capped near cores/N — it measures
+host-core contention, not the sharded program.  Instead, every
+(benchmark, N) point runs in its OWN subprocess pinned with
+``taskset`` to ``min(N, host_cores)`` cores, one core per virtual
+device up to the host's core count:
+
+- per-device compute resources are constant for N <= cores, so speedup
+  there is a true measure of the sharded program (collective overhead,
+  load balance), the thing a real ICI mesh changes;
+- for N > cores the devices time-share 2:1 and the IDEAL speedup is
+  ``host_cores`` — the report carries ``efficiency_vs_achievable``
+  (speedup / min(N, cores)) next to the raw ``efficiency``
+  (speedup / N) so both ceilings are explicit.
+
+The ring sweep is additionally decomposed into compute-only and
+comm-only phases (``phase=`` isolation in ring_allpairs_match), which
+is what a real ICI ring (async permutes on dedicated links) would
+overlap.
+
+Expected wall time: ~6-8 min (each point pays its own jax import +
+trace; results are flushed to SCALING_OUT per point as they complete).
+
+Usage:
+    JAX_PLATFORMS=cpu SCALING_OUT=SCALING_r4.json python benchmarks/scaling.py
+    (the parent re-execs itself under taskset; no XLA_FLAGS needed)
 """
 
 import json
 import os
+import subprocess
 import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+POINT_NAMES = (
+    "ring_match", "ring_phase_compute", "ring_phase_comm",
+    "distributed_ba", "distributed_ba_cg",
+)
 
 
-def main(max_devices: int | None = None):
+def _run_point(name: str, n: int) -> float:
+    """Child-process entry: one benchmark at one mesh size. Returns ms."""
     import jax
 
-    # The axon plugin overrides JAX_PLATFORMS from the environment; re-force
-    # the requested platform via config (see tests/conftest.py).
     if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
@@ -37,64 +69,49 @@ def main(max_devices: int | None = None):
         ring_allpairs_match_counts,
     )
     from niftymatch_tpu.parallel.ba import distributed_bundle_adjust_cg
+    from niftymatch_tpu.parallel.matching import ring_allpairs_match
     from niftymatch_tpu.sfm.ba import BAProblem
     from niftymatch_tpu.utils.timing import benchmark
 
-    n_avail = len(jax.devices())
-    n_max = min(max_devices or n_avail, n_avail)
-    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_max]
-
     rng = np.random.default_rng(0)
-    results = {"ring_match": {}, "distributed_ba": {}, "distributed_ba_cg": {}}
+    mesh = make_keyframe_mesh(n)
 
-    # --- Ring all-pairs matching: fixed global K, N, D ---
-    # N = 512 keeps each per-pair GEMM (512 x 512 x 128) large enough
-    # that the artifact measures the sweep's compute regime rather than
-    # per-step dispatch overhead (VERDICT r3 #2).  Each mesh size is
-    # additionally decomposed into compute-only and comm-only phases
-    # (``phase=`` isolation in ring_allpairs_match) so the virtual-CPU-
-    # mesh numbers are interpretable: the virtual devices SHARE the host
-    # cores, so end-to-end wall time cannot scale once the one-device
-    # baseline saturates them — the phase rows show what a real ICI ring
-    # (async permutes riding dedicated links) would overlap.
-    from niftymatch_tpu.parallel.matching import ring_allpairs_match
-
-    K, N, D = 16, 512, 128
-    desc_sets = [
-        jnp.asarray(rng.normal(size=(K, N, D)).astype(np.float32))
-        for _ in range(2)
-    ]
-    valid = jnp.ones((K, N), bool)
-    results["ring_match_phases"] = {}
-    for n in sizes:
-        if K % n:
-            continue
-        mesh = make_keyframe_mesh(n)
-        f = jax.jit(lambda d: ring_allpairs_match_counts(d, valid, mesh))
-        ms = benchmark(lambda d: f(d), [(d,) for d in desc_sets], iters=4)
-        results["ring_match"][n] = ms
-        phases = {}
-        for ph in ("compute", "comm"):
-            fp = jax.jit(
-                lambda d, _ph=ph: ring_allpairs_match(
-                    d, valid, mesh, phase=_ph
-                ).counts
+    if name.startswith("ring"):
+        # Fixed global K x K sweep, N = 512 so each per-pair GEMM
+        # (512 x 512 x 128) measures the sweep's compute regime rather
+        # than per-step dispatch overhead.
+        K, N, D = 16, 512, 128
+        desc_sets = [
+            jnp.asarray(rng.normal(size=(K, N, D)).astype(np.float32))
+            for _ in range(2)
+        ]
+        valid = jnp.ones((K, N), bool)
+        if name == "ring_match":
+            f = jax.jit(lambda d: ring_allpairs_match_counts(d, valid, mesh))
+        else:
+            ph = name.split("_")[-1]
+            f = jax.jit(
+                lambda d: ring_allpairs_match(d, valid, mesh, phase=ph).counts
             )
-            phases[ph] = round(
-                benchmark(lambda d: fp(d), [(d,) for d in desc_sets],
-                          iters=4), 3)
-        results["ring_match_phases"][n] = phases
+        return benchmark(lambda d: f(d), [(d,) for d in desc_sets], iters=4)
 
-    # --- Distributed BA: fixed global problem ---
-    # 4096 landmarks (vs round-3's 256): the dense solver's per-iteration
-    # work is dominated by the per-landmark Schur elimination, which is
-    # what shards; at 256 landmarks the replicated O(C^2) psum(S) +
-    # dense solve dominated and 8 virtual devices ran 0.76x (VERDICT r3
-    # #2 root cause).
-    scene = make_scene(num_cams=8, num_landmarks=4096, seed=0)
-    obs_uv, obs_cam, obs_lm, valid_o = make_observation_table(scene, seed=0)
-    fixed = np.zeros(8, bool)
+    if name == "distributed_ba":
+        # 4096 landmarks (vs round-3's 256): the dense solver's
+        # per-iteration work is dominated by per-landmark Schur
+        # elimination, which is what shards; at 256 the replicated
+        # O(C^2) psum(S) + dense solve dominated (VERDICT r3 #2).
+        scene = make_scene(num_cams=8, num_landmarks=4096, seed=0)
+        fixed = np.zeros(8, bool)
+        cfg = BAConfig(max_iterations=5)
+        solver = distributed_bundle_adjust
+    else:
+        scene = make_scene(num_cams=32, num_landmarks=4096, seed=1)
+        fixed = np.zeros(32, bool)
+        cfg = BAConfig(max_iterations=4, cg_iterations=16)
+        solver = distributed_bundle_adjust_cg
     fixed[:2] = True
+    obs_uv, obs_cam, obs_lm, valid_o = make_observation_table(
+        scene, seed=0 if name == "distributed_ba" else 1)
     problem = BAProblem(
         poses=jnp.asarray(scene.poses),
         landmarks=jnp.asarray(scene.landmarks + 0.05),
@@ -105,75 +122,91 @@ def main(max_devices: int | None = None):
         obs_valid=jnp.asarray(valid_o),
         pose_fixed=jnp.asarray(fixed),
     )
-    cfg = BAConfig(max_iterations=5)
-    for n in sizes:
-        mesh = make_keyframe_mesh(n)
-        sharded = partition_by_landmark(problem, n)
-        f = jax.jit(
-            lambda lm, uv: distributed_bundle_adjust(
-                sharded._replace(landmarks=lm, obs_uv=uv), mesh, cfg
-            )[0].poses
-        )
-        args = [
-            (sharded.landmarks + 0.001 * i, sharded.obs_uv)
-            for i in range(2)
-        ]
-        ms = benchmark(f, args, iters=4)
-        results["distributed_ba"][n] = ms
-
-    # --- Distributed CG BA: the at-scale solver (config 5) ---
-    scene = make_scene(num_cams=32, num_landmarks=4096, seed=1)
-    obs_uv, obs_cam, obs_lm, valid_o = make_observation_table(scene, seed=1)
-    fixed = np.zeros(32, bool)
-    fixed[:2] = True
-    problem = BAProblem(
-        poses=jnp.asarray(scene.poses),
-        landmarks=jnp.asarray(scene.landmarks + 0.05),
-        intrinsics=jnp.asarray(scene.intrinsics),
-        obs_uv=jnp.asarray(obs_uv),
-        obs_cam=jnp.asarray(obs_cam),
-        obs_lm=jnp.asarray(obs_lm),
-        obs_valid=jnp.asarray(valid_o),
-        pose_fixed=jnp.asarray(fixed),
+    sharded = partition_by_landmark(problem, n)
+    f = jax.jit(
+        lambda lm, uv: solver(
+            sharded._replace(landmarks=lm, obs_uv=uv), mesh, cfg
+        )[0].poses
     )
-    cfg = BAConfig(max_iterations=4, cg_iterations=16)
-    for n in sizes:
-        mesh = make_keyframe_mesh(n)
-        sharded = partition_by_landmark(problem, n)
-        f = jax.jit(
-            lambda lm, uv: distributed_bundle_adjust_cg(
-                sharded._replace(landmarks=lm, obs_uv=uv), mesh, cfg
-            )[0].poses
-        )
-        args = [
-            (sharded.landmarks + 0.001 * i, sharded.obs_uv)
-            for i in range(2)
-        ]
-        ms = benchmark(f, args, iters=4)
-        results["distributed_ba_cg"][n] = ms
+    args = [
+        (sharded.landmarks + 0.001 * i, sharded.obs_uv) for i in range(2)
+    ]
+    return benchmark(f, args, iters=4)
 
-    report = {}
-    for name, times in results.items():
-        if not times:
-            continue
-        if name == "ring_match_phases":
-            report[name] = {str(n): v for n, v in sorted(times.items())}
-            continue
-        base = times[min(times)]
-        report[name] = {
-            str(n): {
-                "ms": round(t, 3),
-                "speedup": round(base / t, 2),
-                "efficiency": round(base / t / (n / min(times)), 3),
-            }
-            for n, t in sorted(times.items())
-        }
-    print(json.dumps(report, indent=2))
+
+def main(max_devices: int | None = None):
+    cores = os.cpu_count() or 1
+    n_max = max_devices or 8
+    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_max]
+    raw: dict = {name: {} for name in POINT_NAMES}
     out = os.environ.get("SCALING_OUT")
+
+    def _report():
+        report = {
+            "host_cores": cores,
+            "pinning": "taskset min(n_devices, host_cores) cores per point;"
+                       " one core per virtual device up to the host's"
+                       f" {cores} cores, 2:1 time-shared beyond",
+        }
+        phases: dict = {}
+        for name, times in raw.items():
+            if not times:
+                continue
+            if name.startswith("ring_phase"):
+                ph = name.split("_")[-1]
+                for n, t in times.items():
+                    phases.setdefault(str(n), {})[ph] = round(t, 3)
+                continue
+            base = times[min(times)]
+            report[name] = {
+                str(n): {
+                    "ms": round(t, 3),
+                    "speedup": round(base / t, 2),
+                    "efficiency": round(base / t / (n / min(times)), 3),
+                    "efficiency_vs_achievable": round(
+                        base / t / (min(n, cores) / min(times)), 3),
+                }
+                for n, t in sorted(times.items())
+            }
+        if phases:
+            report["ring_match_phases"] = phases
+        return report
+
+    for name in POINT_NAMES:
+        for n in sizes:
+            if name.startswith("ring") and 16 % n:
+                continue
+            cpus = "0-%d" % (min(n, cores) - 1) if min(n, cores) > 1 else "0"
+            env = dict(os.environ)
+            env["XLA_FLAGS"] = (
+                env.get("SCALING_BASE_XLA_FLAGS", "")
+                + f" --xla_force_host_platform_device_count={n}"
+            ).strip()
+            env["JAX_PLATFORMS"] = "cpu"
+            cmd = ["taskset", "-c", cpus, sys.executable,
+                   os.path.abspath(__file__), "--point", name, str(n)]
+            proc = subprocess.run(
+                cmd, env=env, capture_output=True, text=True, timeout=900)
+            if proc.returncode != 0:
+                print(f"point {name}@{n} FAILED:\n{proc.stderr[-2000:]}",
+                      file=sys.stderr)
+                continue
+            ms = float(proc.stdout.strip().splitlines()[-1])
+            raw[name][n] = ms
+            print(f"{name}@{n} ({cpus}): {ms:.1f} ms", file=sys.stderr)
+            if out:  # flush partial results per point
+                with open(out, "w") as fo:
+                    json.dump(_report(), fo, indent=1)
+
+    report = _report()
+    print(json.dumps(report, indent=2))
     if out:
         with open(out, "w") as fo:
             json.dump(report, fo, indent=1)
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else None)
+    if len(sys.argv) >= 4 and sys.argv[1] == "--point":
+        print(_run_point(sys.argv[2], int(sys.argv[3])))
+    else:
+        main(int(sys.argv[1]) if len(sys.argv) > 1 else None)

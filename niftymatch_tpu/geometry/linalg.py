@@ -352,3 +352,43 @@ def inv3x3(A: jnp.ndarray) -> jnp.ndarray:
     e = jnp.broadcast_to(jnp.eye(3, dtype=A.dtype), A.shape)
     cols = [solve3x3(A, e[..., :, i]) for i in range(3)]
     return jnp.stack(cols, axis=-1)
+
+
+def cholesky_solve_small(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pure-XLA solve of a small static-size SPD system by unrolled
+    Cholesky (no pivoting; SPD needs none).
+
+    ``jnp.linalg.solve`` lowers to LAPACK FFI custom calls on the CPU
+    backend, which cannot ride the AOT export cache (``utils/aot.py``)
+    and is heavyweight HLO LU on TPU; for the n <= 8 normal-equation
+    systems of the GN/LM refiners an unrolled Cholesky is both portable
+    and faster.  Batched over leading dims; fully branchless (a
+    non-positive pivot is clamped, yielding a garbage-but-finite step
+    the callers' cost-decrease gates then reject).
+    """
+    n = A.shape[-1]
+    assert n == b.shape[-1] and n <= 8, (A.shape, b.shape)
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-20))
+            else:
+                L[i][j] = s / L[j][j]
+    # Forward substitution L y = b, then back substitution L^T x = y.
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)

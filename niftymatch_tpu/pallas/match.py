@@ -61,6 +61,9 @@ def _match_kernel(
     m1_s,         # (MC, NC) scratch f32   — lane-packed per-chunk columns
     i1_s,         # (MC, NC) scratch i32     (a (TM,1)-shaped buffer would
     m2_s,         # (MC, NC) scratch f32      be lane-padded 128x in VMEM)
+    c1_s,         # (MC, NC) scratch f32   — this B-tile's chunk candidates
+    ci_s,         # (MC, NC) scratch i32     (staged per chunk so no SSA
+    c2_s,         # (MC, NC) scratch f32      value lives across the loop)
     *,
     tn: int,
     mc: int,
@@ -78,7 +81,6 @@ def _match_kernel(
     b = b_ref[:]
     bnorm = bnorm_ref[:]
 
-    t1s, ti1s, t2s = [], [], []
     for c in range(nc):  # static chunk count: unrolled, static slices
         a = a_ref[c * mc:(c + 1) * mc, :]                    # (MC, D)
         ab = jax.lax.dot_general(
@@ -95,19 +97,21 @@ def _match_kernel(
         first_min_col = jnp.min(
             jnp.where(is_min, cols, jnp.int32(2**30)), axis=-1, keepdims=True
         )
-        t1s.append(t1)
-        ti1s.append(first_min_col + j * tn)                  # global index
         d2 = jnp.where(cols == first_min_col, _BIG, d)
-        t2s.append(jnp.min(d2, axis=-1, keepdims=True))
+        # Stage into scratch columns: ends each chunk's SSA lifetime, so
+        # Mosaic reuses one (MC, TN) stack slot for every chunk's d
+        # (keeping all nc candidate VALUES live to concat at the end
+        # exceeded the 16 MB scoped-VMEM stack at nc = 32).
+        c1_s[:, c:c+1] = t1
+        ci_s[:, c:c+1] = first_min_col + j * tn              # global index
+        c2_s[:, c:c+1] = jnp.min(d2, axis=-1, keepdims=True)
 
     # ONE vectorised merge of all chunks' candidates into the running
     # top-2 (each chunk is a distinct row group -> lane-packed columns
     # of the (MC, NC) scratch).  Merging per chunk on (MC, 1) slices
     # cost ~6 single-lane VPU ops per chunk; batched across lanes the
     # merge is 6 ops on the whole (MC, NC) tile.
-    cand1 = jnp.concatenate(t1s, axis=1)                     # (MC, NC)
-    candi = jnp.concatenate(ti1s, axis=1)
-    cand2 = jnp.concatenate(t2s, axis=1)
+    cand1, candi, cand2 = c1_s[:], ci_s[:], c2_s[:]
     m1, i1, m2 = m1_s[:], i1_s[:], m2_s[:]
     better = cand1 < m1
     m1_s[:] = jnp.where(better, cand1, m1)
@@ -207,6 +211,9 @@ def _fused_call(a, b, bn, a_norm, m, tm, tn, mc, interpret):
             jax.ShapeDtypeStruct((mp // tm, mc, nc), jnp.float32),
         ],
         scratch_shapes=[
+            pltpu.VMEM((mc, nc), jnp.float32),
+            pltpu.VMEM((mc, nc), jnp.int32),
+            pltpu.VMEM((mc, nc), jnp.float32),
             pltpu.VMEM((mc, nc), jnp.float32),
             pltpu.VMEM((mc, nc), jnp.int32),
             pltpu.VMEM((mc, nc), jnp.float32),

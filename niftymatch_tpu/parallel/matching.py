@@ -306,7 +306,12 @@ def _build_ring(mesh: Mesh, axis: str, ambiguity: float, mutual: bool,
             # n_dev (comm + compute) rounds.  The last step's rotation is
             # a wasted hop (result unused) but keeps the scan body static.
             if phase == "compute":
-                nxt = vis
+                # Keep the block resident but STEP-DEPENDENT (one scalar
+                # nudged by the step index): with a loop-invariant ``vis``
+                # XLA hoists the whole block match out of the scan and the
+                # "compute" phase measures ONE step's GEMMs, not n_dev.
+                nxt = vis.at[0, 0, 0].add(
+                    jnp.float32(1e-30) * (s + 1).astype(jnp.float32))
             else:
                 nxt = jax.lax.ppermute(vis, axis, perm)
             if phase == "comm":

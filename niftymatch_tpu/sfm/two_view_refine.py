@@ -15,6 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..geometry.linalg import cholesky_solve_small
 from ..utils.precision import f32
 from .se3 import hat, so3_exp
 
@@ -94,7 +95,10 @@ def refine_relative_pose(
         r = residuals_of(zero, R, t)                   # (N,)
         H = J.T @ J + (lam + 1e-9) * jnp.eye(5, dtype=R.dtype)
         g = J.T @ r
-        step = -jnp.linalg.solve(H, g)
+        # Unrolled Cholesky: jnp.linalg.solve would lower to a LAPACK
+        # custom call on CPU (un-exportable, see utils/aot.py) and HLO
+        # LU on TPU; H is SPD by construction.
+        step = -cholesky_solve_small(H, g)
         Rn = so3_exp(step[:3]) @ R
         B = _tangent_basis(t)
         tn = t + B @ step[3:]

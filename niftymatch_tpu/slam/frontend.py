@@ -127,11 +127,18 @@ def two_view_from_matches(
     H = res_h.transform
     # Adjugate-based inverse with a clamped determinant: H comes from a
     # masked RANSAC and can be arbitrary when res_h.success is False.
-    det = jnp.linalg.det(H)
-    H_inv = (
-        jnp.linalg.inv(
-            H + jnp.where(jnp.abs(det) < 1e-12, 1e-6, 0.0) * jnp.eye(3)
-        )
+    # (inv3x3/det3x3 are the repo's pure-XLA small-matrix routines; the
+    # jnp.linalg equivalents lower to LAPACK custom calls on CPU, which
+    # the AOT export cache cannot persist.)
+    from ..geometry.linalg import inv3x3
+
+    det = (
+        H[0, 0] * (H[1, 1] * H[2, 2] - H[1, 2] * H[2, 1])
+        - H[0, 1] * (H[1, 0] * H[2, 2] - H[1, 2] * H[2, 0])
+        + H[0, 2] * (H[1, 0] * H[2, 1] - H[1, 1] * H[2, 0])
+    )
+    H_inv = inv3x3(
+        H + jnp.where(jnp.abs(det) < 1e-12, 1e-6, 0.0) * jnp.eye(3)
     )
     err_h = transfer_sq_error(H, srcn, dstn) + transfer_sq_error(
         H_inv, dstn, srcn
