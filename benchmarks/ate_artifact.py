@@ -347,7 +347,23 @@ def main():
     except Exception:
         pass
 
+    # Self-describe cache state: loop_closure_s in a process with warm
+    # DISK caches (AOT-exported traces, utils/aot.py + XLA persistent
+    # compile cache) is the recurring per-process cost; an empty-cache
+    # run additionally pays one-time trace+compile (~25 s at 96 kf).
+    from niftymatch_tpu.utils import aot as _aot
+
+    aot_dir = _aot.cache_dir()
+    aot_entries = (
+        len([p for p in os.listdir(aot_dir) if p.endswith(".jaxexp")])
+        if aot_dir and os.path.isdir(aot_dir) else 0
+    )
     result = {
+        "caches": {
+            "aot_dir": aot_dir or "",
+            "aot_entries_at_start": aot_entries,
+            "xla_cache_dir": cache_dir,
+        },
         "standard": run_variant(
             "standard", args.frames, args.chunk, args.seed, args.workdir
         )
