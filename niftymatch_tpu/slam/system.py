@@ -204,7 +204,13 @@ class SlamSystem:
             best = jnp.argmax(score)
             return best, jax.tree.map(lambda a: a[best], outs)
 
-        self._reloc = jax.jit(_reloc)
+        from ..utils.aot import aot_jit as _aot_jit
+
+        # Reloc queries fire mid-sequence on rejected frames; a plain jit
+        # would pay its first trace+compile inside the throughput-critical
+        # segment (ATE r4: the hard clip's dropout gaps cost ~13 s of
+        # in-run compile).
+        self._reloc = _aot_jit(_reloc, "reloc")
         O_cap, L_cap = config.max_obs, config.ba_landmarks_cap
 
         def _ba_gated(pose_list, buf):
@@ -259,12 +265,18 @@ class SlamSystem:
             )
             return feats_b, outs, accepts
 
-        self._chunk_images = jax.jit(_chunk_images)
-        self._chunk_features = jax.jit(
+        from ..utils.aot import aot_jit as _aot_jit
+
+        # The fused chunk programs are the framework's biggest compiles
+        # (minutes on an empty compile cache); the AOT export additionally
+        # skips their multi-second re-TRACE in every later process.
+        self._chunk_images = _aot_jit(_chunk_images, "chunk-images")
+        self._chunk_features = _aot_jit(
             lambda feats_b, kf_feats, pose, world, has: slam_chunk(
                 kf_feats, feats_b, pose, world, has, fx4,
                 config.ransac, config.min_inliers,
-            )
+            ),
+            "chunk-features",
         )
         self._take_frame = jax.jit(
             lambda fb, poses, i: (
@@ -721,11 +733,27 @@ class SlamSystem:
         ONE batched dispatch (vmapped ``slam_step``), re-anchor at the best
         successful hit, and resume tracking from there.  Returns the frame
         info dict on success, None when recovery also fails."""
-        W = min(len(self.keyframes), self.config.reloc_window)
+        K = len(self.keyframes)
+        W = min(K, self.config.reloc_window)
         if W < 1:
             return None
-        kfs = self.keyframes[-W:]
-        feats_b = self._store.tail(W)  # one dispatch, no per-kf stacking
+        # Candidate set: the last W keyframes (local recovery) plus up to
+        # W stride-sampled over the WHOLE map (global re-localization —
+        # after a long dropout the nearest view may be from a much
+        # earlier pass, e.g. the start of a closed loop; querying only
+        # the recent tail can never recover there).  One batched
+        # dispatch either way; the list is padded to the 2W bucket by
+        # repeating the last index so the compiled program is reused.
+        idx = list(range(K - W, K))
+        older = K - W
+        if older > 0:
+            stride = max(1, older // W)
+            sampled = list(range(0, older, stride))[:W]
+            idx = sampled + idx
+        pad = 2 * self.config.reloc_window - len(idx)
+        idx = idx + [K - 1] * max(pad, 0)
+        kfs = [self.keyframes[i] for i in idx]
+        feats_b = self._store.gather([k.slot for k in kfs])
         poses_b = jnp.stack([k.pose for k in kfs])
         ids = np.stack([k.track_ids for k in kfs])
         has = (ids >= 0) & self.track_alive[np.maximum(ids, 0)]
