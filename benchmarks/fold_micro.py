@@ -8,9 +8,12 @@ fold's VPU cost, the MXU floor, per-pair fixed overhead, and the degree
 of MXU/VPU overlap are each measured rather than asserted:
 
   gemm    - chunks' GEMMs issued, result consumed by a 1-column add
-            (no fold).  Time = MXU + DMA + kernel entry/exit.
-  min1    - fold = one min-reduce per chunk (1 VPU pass).  min1-gemm
-            isolates one pass; if min1 == gemm the pass hid under the MXU.
+            (no fold).  CAVEAT: Mosaic can narrow the dot to the one
+            consumed column (measured 135% of roofline at 4k — i.e.
+            above the physical peak, proving partial DCE), so this row
+            is NOT a valid floor; use min1 as the effective floor.
+  min1    - fold = one min-reduce per chunk (1 VPU pass): the cheapest
+            un-DCE-able consume, the effective MXU+1-pass floor.
   top2noi - value-only top-2 via a min/max tournament (no index).
   full    - the production fold (top-2 + argmin), via the real kernel.
   tour    - tournament fold with index riding (candidate replacement).
@@ -325,8 +328,9 @@ def main():
         "roofline_s": sol,
         "rows": [],
     }
+    suffix = "" if k == 1024 else f"_{k // 1024}K"
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "FOLD_MICRO.json")
+        os.path.abspath(__file__))), f"FOLD_MICRO{suffix}.json")
     t_start = time.time()
     for fold in args.variants:
         t0 = time.time()
