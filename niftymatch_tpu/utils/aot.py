@@ -161,7 +161,14 @@ class AotJit:
                 })
             )
             tmp.replace(path)  # atomic vs concurrent processes
-            return _wrap(exp, out_treedef)
+            # Populate path: run THIS process on the plain jit (the
+            # export already traced once; re-lowering the deserialized
+            # module through jit(exp.call) would pay tracing twice and
+            # compile a program the XLA cache has never seen — measured
+            # 48 s vs 12.5 s for the verify program).  Later processes
+            # take the deserialize path above and, from their second
+            # process on, hit the XLA persistent cache too.
+            return self._jit
         except Exception as e:  # pragma: no cover - environment-dependent
             log.warning(
                 "AOT cache disabled for %s (%s); using plain jit",
