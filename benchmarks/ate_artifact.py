@@ -227,6 +227,7 @@ def run_variant(name: str, n_frames: int, chunk: int, seed: int,
     # SAME workload that produces the accuracy number below.
     warm = min(2 * chunk + 1, max(n - chunk, 1))
     infos = slam.process_frames(frames[:warm].astype(np.uint8))
+    slam.prewarm_reloc()  # reloc fires mid-segment on dropout clips
     start = time.perf_counter()
     infos += slam.process_frames(frames[warm:].astype(np.uint8))
     traj_vo = slam.trajectory()  # flushes BA; (K, 3) camera centers

@@ -250,7 +250,16 @@ def ring_allpairs_match(
 
     fn = _build_ring(mesh, axis, ambiguity, mutual, return_indices,
                      k_total, n_cap, phase)
-    counts, idx = fn(desc, valid.astype(jnp.bool_))
+    # Inputs produced by single-device programs (e.g. the FeatureStore
+    # buffers) arrive COMMITTED to device 0; a shard_map over the full
+    # mesh rejects that ("incompatible devices").  Explicitly lay the
+    # keyframe rows out over the ring axis first.
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    row_sharding = NamedSharding(mesh, PartitionSpec(axis))
+    desc = jax.device_put(desc, row_sharding)
+    valid = jax.device_put(valid.astype(jnp.bool_), row_sharding)
+    counts, idx = fn(desc, valid)
     counts = counts[:k_orig, :k_orig]
     return AllPairsMatches(
         counts, idx[:k_orig, :k_orig] if return_indices else None

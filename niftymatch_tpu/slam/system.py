@@ -20,6 +20,7 @@ candidate pairs; verified closures become pose-graph edges; a final
 
 from __future__ import annotations
 
+import os
 import dataclasses
 from functools import partial
 from typing import List
@@ -727,6 +728,31 @@ class SlamSystem:
             return jnp.float32(1.0)
         return jnp.float32(np.median(d_world[ok] / d_unit[ok]))
 
+    def prewarm_reloc(self):
+        """Compile/load the relocalization query program NOW.
+
+        The query otherwise first fires mid-sequence on a rejected frame,
+        putting its one-time trace+compile inside whatever the caller is
+        timing (ATE r4: dropout gaps cost 10+ s of in-run compile).
+        Requires at least one committed keyframe (shapes come from the
+        store); a no-op otherwise.  Result is discarded."""
+        if not self.keyframes:
+            return
+        W2 = 2 * self.config.reloc_window
+        kf0 = self.keyframes[0]
+        feats_b = self._store.gather([kf0.slot] * W2)
+        poses_b = jnp.stack([kf0.pose] * W2)
+        ids = np.stack([kf0.track_ids] * W2)
+        has = (ids >= 0) & self.track_alive[np.maximum(ids, 0)]
+        world = self.track_positions[np.maximum(ids, 0)]
+        feats = jax.tree.map(lambda a: a[0], feats_b)
+        jax.block_until_ready(
+            self._reloc(
+                feats_b, feats, poses_b, jnp.asarray(world),
+                jnp.asarray(has),
+            )
+        )
+
     def _maybe_relocalize(self, feats: Features) -> dict | None:
         """Recovery query after ``reloc_after`` consecutive rejections:
         match the lost frame against the last ``reloc_window`` keyframes in
@@ -1124,12 +1150,27 @@ class SlamSystem:
                     continue
                 # Sim(3) measurement Z = S_i o S_j^-1: scale s_i/s_j,
                 # translation in i's local metric (s_i * unit baseline).
+                # Degenerate verifications (zero/negative/non-finite
+                # median depth ratios) must not reach the graph: one
+                # non-positive edge scale NaNs the log-scale residual
+                # and the cost gate then rejects the WHOLE closure.
+                s_rel = s_i / s_j if s_j > 0 else np.nan
                 T_rel = np.concatenate(
                     [R_b[c], (s_i * t_b[c])[:, None]], axis=-1
                 ).astype(np.float32)
+                if not (np.isfinite(s_rel) and s_rel > 1e-4
+                        and s_rel < 1e4 and np.isfinite(T_rel).all()):
+                    continue
+                if os.environ.get("NIFTYMATCH_DEBUG_CLOSURE"):
+                    from ..sfm.se3 import se3_compose as _c, se3_inverse as _inv
+                    pred = np.asarray(_c(jnp.asarray(pose_i),
+                                         se3_inverse(jnp.asarray(pose_j))))
+                    print(f"edge {j}->{i}: s_j={s_j:.4f} s_i={s_i:.4f} "
+                          f"s_rel={s_rel:.4f} ninl={int(ninl_b[c])}\n"
+                          f"  T_meas t={T_rel[:, 3]}\n  T_pred t={pred[:, 3]}")
                 edges_i.append(i)
                 edges_j.append(j)
-                edges_s.append(s_i / s_j)
+                edges_s.append(s_rel)
                 edges_T.append(T_rel)
                 weights.append(self.config.loop_weight)
                 accepted += 1
@@ -1206,6 +1247,8 @@ class SlamSystem:
              out.scale[:K], out.poses[:K])
         )
         _mark("posegraph_s")
+        _stages["pg_edges"] = int(accepted)
+        _stages["pg_cost"] = [float(c0), float(c1)]
         if not (float(c1) <= float(c0)):
             # Optimization rejected: no correction applied, report 0 so
             # callers (finalize's early-stop) see no progress.
