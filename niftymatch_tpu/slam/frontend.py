@@ -304,6 +304,7 @@ def slam_chunk(
     ransac_config: RansacConfig,
     min_inliers: int,
     min_scale_obs: int = 5,
+    anchor_landmarks: bool = True,
 ) -> tuple[SlamStepResult, jnp.ndarray]:
     """N sequential SLAM frames in ONE compiled program.
 
@@ -348,9 +349,18 @@ def slam_chunk(
         # mirrors the host path's _propagate_tracks fix).
         cap = world.shape[0]
         matched = out.inliers & (out.indices >= 0)
-        sel = matched & (has | out.points_valid)
+        if anchor_landmarks:
+            sel = matched & (has | out.points_valid)
+            carried = jnp.where(has[:, None], world, out.points_w)
+        else:
+            # Fresh carry (pre-r4 semantics): every re-observed slot
+            # takes this frame's triangulation.  Chains the per-step
+            # scale (higher long-run gauge drift on dense clips) but
+            # self-corrects when windowed BA is too sparse to keep the
+            # anchored positions consistent with the current pose.
+            sel = matched & out.points_valid
+            carried = out.points_w
         tgt = jnp.where(sel, out.indices, cap)
-        carried = jnp.where(has[:, None], world, out.points_w)
         new_world = jnp.zeros_like(world).at[tgt].set(
             carried, mode="drop"
         )

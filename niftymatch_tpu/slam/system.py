@@ -82,6 +82,14 @@ class SlamConfig:
     # waiting forever on the stale last keyframe.
     reloc_after: int = 2
     reloc_window: int = 6
+    # Landmark anchoring (VERDICT r3 #5): re-observed tracks keep their
+    # stored (BA-refined) positions instead of re-triangulating every
+    # frame.  Anchoring stops the multiplicative re-chaining of the
+    # per-step scale median on feature-dense clips; on SPARSE scenes
+    # (few hundred usable features) the anchored positions can outlive
+    # windowed-BA consistency and feed back into the scale estimate —
+    # set False to chain fresh triangulations instead.
+    anchor_landmarks: bool = True
     # Frames per compiled chunk in process_frames: the whole chunk
     # (detection + N sequential SLAM steps) is ONE dispatch + ONE fetch, so
     # tunnel round-trips amortise over chunk_size frames.
@@ -211,7 +219,7 @@ class SlamSystem:
         # would pay its first trace+compile inside the throughput-critical
         # segment (ATE r4: the hard clip's dropout gaps cost ~13 s of
         # in-run compile).
-        self._reloc = _aot_jit(_reloc, "reloc")
+        self._reloc = _aot_jit(_reloc, "reloc", salt=repr(config))
         O_cap, L_cap = config.max_obs, config.ba_landmarks_cap
 
         def _ba_gated(pose_list, buf):
@@ -263,6 +271,7 @@ class SlamSystem:
             outs, accepts = slam_chunk(
                 kf_feats, feats_b, pose, world, has, fx4,
                 config.ransac, config.min_inliers,
+                anchor_landmarks=config.anchor_landmarks,
             )
             return feats_b, outs, accepts
 
@@ -271,13 +280,17 @@ class SlamSystem:
         # The fused chunk programs are the framework's biggest compiles
         # (minutes on an empty compile cache); the AOT export additionally
         # skips their multi-second re-TRACE in every later process.
-        self._chunk_images = _aot_jit(_chunk_images, "chunk-images")
+        self._chunk_images = _aot_jit(
+            _chunk_images, "chunk-images", salt=repr(config)
+        )
         self._chunk_features = _aot_jit(
             lambda feats_b, kf_feats, pose, world, has: slam_chunk(
                 kf_feats, feats_b, pose, world, has, fx4,
                 config.ransac, config.min_inliers,
+                anchor_landmarks=config.anchor_landmarks,
             ),
             "chunk-features",
+            salt=repr(config),
         )
         self._take_frame = jax.jit(
             lambda fb, poses, i: (
@@ -325,7 +338,7 @@ class SlamSystem:
 
             return jax.vmap(one)(fa.desc, fa.valid, fb.desc, fb.valid)
 
-        self._cand_match = aot_jit(_cand_match, "cand-match")
+        self._cand_match = aot_jit(_cand_match, "cand-match", salt=repr(config))
         self._two_view_from_b = jax.jit(
             jax.vmap(
                 lambda fa, fb, idx: two_view_from_matches(
@@ -363,7 +376,9 @@ class SlamSystem:
             )(fa, fb, idx)
             return idx, tv
 
-        self._match_verify_b = aot_jit(_match_verify, "match-verify")
+        self._match_verify_b = aot_jit(
+            _match_verify, "match-verify", salt=repr(config)
+        )
         self._global_ba_jits: dict = {}
         # Jitted Sim(3) pose-graph solvers per (node, edge, solver) bucket.
         self._pgo_jits: dict = {}
@@ -863,8 +878,10 @@ class SlamSystem:
         per-step median bias into the 2.5-7x drift ATE_r03 recorded
         (sim3_scale 0.39/0.15); anchoring to the oldest surviving
         landmarks stops the chain."""
+        anchor = self.config.anchor_landmarks
         has_old = last.track_ids >= 0
-        sel = np.nonzero(inl & (m_idx >= 0) & (valid_w | has_old))[0]
+        keep_mask = (valid_w | has_old) if anchor else valid_w
+        sel = np.nonzero(inl & (m_idx >= 0) & keep_mask)[0]
         if sel.size == 0:
             return 0
         tids = last.track_ids[sel].copy()
@@ -888,7 +905,11 @@ class SlamSystem:
         minted = minted[keep]
         last.track_ids[sel] = tids
         kf.track_ids[m_idx[sel]] = tids
-        self.track_positions[tids[minted]] = pts_w[sel[minted]]
+        if anchor:
+            self.track_positions[tids[minted]] = pts_w[sel[minted]]
+        else:
+            fresh = valid_w[sel]
+            self.track_positions[tids[fresh]] = pts_w[sel[fresh]]
         self.track_alive[tids] = True
         return int(sel.size)
 
@@ -1101,6 +1122,7 @@ class SlamSystem:
             ]
             cands.sort()
         poses_h = np.asarray(jax.device_get(poses_all))  # one fetch, reused
+        edge_consistency: list = []
         if cands:
             # Fused re-match + verification per fixed-size batch: ONE
             # dispatch and ONE fetch per batch (compiled once per bucket).
@@ -1148,25 +1170,65 @@ class SlamSystem:
                 )
                 if s_j is None or s_i is None:
                     continue
-                # Sim(3) measurement Z = S_i o S_j^-1: scale s_i/s_j,
-                # translation in i's local metric (s_i * unit baseline).
-                # Degenerate verifications (zero/negative/non-finite
-                # median depth ratios) must not reach the graph: one
-                # non-positive edge scale NaNs the log-scale residual
-                # and the cost gate then rejects the WHOLE closure.
-                s_rel = s_i / s_j if s_j > 0 else np.nan
+                # Sim(3) measurement Z = S_i o S_j^-1.  The relative map
+                # scale is estimated PREFERENTIALLY from pair-distance
+                # ratios of the two keyframes' stored landmarks over the
+                # matched slots: |X_i_k - X_i_l| / |X_j_k - X_j_l| is a
+                # direct observation of scale_i/scale_j, invariant to the
+                # (drifted) rigid alignment between the two map epochs —
+                # far more robust than the ratio of two unit-baseline
+                # depth medians, whose i-side estimate mixes landmark
+                # birth epochs (one 2x-off edge scale makes the Sim(3)
+                # graph confidently blow up the loop tail: measured
+                # closure 3.1 -> 5.5 instead of 3.1 -> 0.8 on the
+                # 100-keyframe test).  Depth medians remain the fallback
+                # when too few matched slots are tracked on both sides.
+                s_pairs = (
+                    None
+                    if os.environ.get("NIFTYMATCH_EDGE_SCALE") == "median"
+                    else self._edge_scale_pairs(kf_j, kf_i, midx)
+                )
+                s_med = s_i / s_j if s_j > 0 else np.nan
+                # The two estimators fail differently: the depth-ratio
+                # median has lower variance (its i- and j-side biases
+                # cancel when both keyframes observe the same landmark
+                # set) but mixes landmark birth epochs on long loops —
+                # measured 2.5x off on the 100-kf closed loop, which the
+                # Sim(3) graph then confidently amplified into a 90x
+                # tail blowup; the pair-distance ratio is epoch-robust
+                # but noisier.  Use the median when they agree (within
+                # 20% in log), else trust the pair estimate.
+                if s_pairs is None:
+                    s_rel = s_med
+                elif np.isfinite(s_med) and abs(
+                        np.log(max(s_med, 1e-9) / s_pairs)) < 0.2:
+                    s_rel = s_med
+                else:
+                    s_rel = s_pairs
+                    # Translation in i's local metric: baseline-in-j's-
+                    # metric (the reliable j-side median) times the ratio.
+                    if s_j > 0:
+                        s_i = s_j * s_pairs
                 T_rel = np.concatenate(
                     [R_b[c], (s_i * t_b[c])[:, None]], axis=-1
                 ).astype(np.float32)
                 if not (np.isfinite(s_rel) and s_rel > 1e-4
                         and s_rel < 1e4 and np.isfinite(T_rel).all()):
                     continue
+                from ..sfm.se3 import se3_compose as _cmp, se3_inverse as _inv
+                pred = np.asarray(_cmp(jnp.asarray(pose_i),
+                                       _inv(jnp.asarray(pose_j))))
+                # Edge inconsistency vs the current poses: relative
+                # translation gap + squared log-scale.  Drives the
+                # iteration budget below.
+                dt = float(np.sum((T_rel[:, 3] - pred[:, 3]) ** 2))
+                cons = dt / (1.0 + float(np.sum(pred[:, 3] ** 2)))
+                cons += float(np.log(max(s_rel, 1e-9)) ** 2)
+                edge_consistency.append(cons)
                 if os.environ.get("NIFTYMATCH_DEBUG_CLOSURE"):
-                    from ..sfm.se3 import se3_compose as _c, se3_inverse as _inv
-                    pred = np.asarray(_c(jnp.asarray(pose_i),
-                                         se3_inverse(jnp.asarray(pose_j))))
                     print(f"edge {j}->{i}: s_j={s_j:.4f} s_i={s_i:.4f} "
-                          f"s_rel={s_rel:.4f} ninl={int(ninl_b[c])}\n"
+                          f"s_rel={s_rel:.4f} ninl={int(ninl_b[c])} "
+                          f"cons={cons:.4f}\n"
                           f"  T_meas t={T_rel[:, 3]}\n  T_pred t={pred[:, 3]}")
                 edges_i.append(i)
                 edges_j.append(j)
@@ -1211,7 +1273,18 @@ class SlamSystem:
             node_fixed=jnp.asarray(fixed),
         )
         use_cg = K_pad >= 512
-        key = (K_pad, E_pad, use_cg)
+        # Iteration budget scaled to the measured graph inconsistency
+        # (trust-region flavour): a graph whose loop edges already agree
+        # with the current poses (mean consistency < 1e-2; the 12-kf
+        # noise-floor regime measures ~1e-3) gets a MILD early-stopped
+        # correction — running such a graph to convergence only fits
+        # measurement noise and moves ATE the wrong way — while a
+        # drifted graph (the 100-keyframe loop measures ~1.0) needs the
+        # full budget: at 16 iterations its half-converged state blew
+        # the loop tail up 90x before the cost gate could see it.
+        mean_cons = float(np.mean(edge_consistency)) if edge_consistency else 0.0
+        iters = 12 if mean_cons < 1e-2 else 48
+        key = (K_pad, E_pad, use_cg, iters)
         solver = self._pgo_jits.get(key)
         if solver is None:
             from ..sfm.posegraph import (
@@ -1227,7 +1300,7 @@ class SlamSystem:
                 # schedule — agreement tested in test_posegraph_sim3.py).
                 solver = aot_jit(
                     partial(
-                        _cg_opt, iterations=16, damping=1e-4,
+                        _cg_opt, iterations=iters, damping=1e-4,
                         cg_iterations=max(64, min(256, K_pad // 5)),
                     ),
                     f"pgo-cg-{K_pad}",
@@ -1236,7 +1309,7 @@ class SlamSystem:
                 solver = aot_jit(
                     partial(
                         optimize_pose_graph_sim3,
-                        iterations=16, damping=1e-4,
+                        iterations=iters, damping=1e-4,
                     ),
                     "pgo-dense",
                 )
@@ -1257,6 +1330,40 @@ class SlamSystem:
                                     np.asarray(poses_o))
         _mark("apply_s")
         return accepted
+
+    def _edge_scale_pairs(
+        self, kf_j, kf_i, midx, min_pts: int = 8
+    ) -> float | None:
+        """Relative map scale (scale_i / scale_j) from pair-distance
+        ratios of the two keyframes' stored landmarks over matched slots.
+
+        For matched physical points with stored positions X_j (kf_j's
+        map epoch) and X_i (kf_i's), every index pair (k, l) gives one
+        scale observation |X_i_k - X_i_l| / |X_j_k - X_j_l| regardless
+        of the rigid drift between the epochs.  Median over all pairs
+        (vectorised outer difference; the matched set is <= a few
+        hundred points).  None when fewer than ``min_pts`` matched
+        slots are tracked with live landmarks on BOTH sides."""
+        tid_j = kf_j.track_ids
+        ok = (midx >= 0) & (tid_j >= 0)
+        tid_i = np.where(ok, kf_i.track_ids[np.maximum(midx, 0)], -1)
+        ok &= tid_i >= 0
+        ok &= self.track_alive[np.maximum(tid_j, 0)]
+        ok &= self.track_alive[np.maximum(tid_i, 0)]
+        sel = np.nonzero(ok)[0]
+        if sel.size < min_pts:
+            return None
+        X_j = self.track_positions[tid_j[sel]]
+        X_i = self.track_positions[tid_i[sel]]
+        d_j = np.linalg.norm(X_j[:, None] - X_j[None, :], axis=-1)
+        d_i = np.linalg.norm(X_i[:, None] - X_i[None, :], axis=-1)
+        iu = np.triu_indices(sel.size, k=1)
+        dj, di = d_j[iu], d_i[iu]
+        good = dj > 1e-6
+        if int(good.sum()) < min_pts:
+            return None
+        s = float(np.median(di[good] / dj[good]))
+        return s if np.isfinite(s) and 1e-4 < s < 1e4 else None
 
     def _scale_vs_unit(self, kf, pts_unit, pv, pose, slot_map=None):
         """Median ratio of the keyframe's known landmark depths to the

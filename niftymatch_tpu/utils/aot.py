@@ -60,10 +60,24 @@ class AotJit:
     falls back to plain ``jax.jit`` for that bucket, logged once.
     """
 
-    def __init__(self, fn, tag: str):
+    def __init__(self, fn, tag: str, salt: str = ""):
         self._fn = fn
         self._jit = jax.jit(fn)
         self._tag = tag
+        # The key must identify the PROGRAM, not just the entry point:
+        # closures bake config values (intrinsics, thresholds, flags)
+        # into the trace, and two configs with identical arg shapes
+        # would otherwise collide — a cached program built for one
+        # SlamConfig silently served another (manifested as a 40x
+        # "scale drift" when a probe deserialized a chunk program
+        # compiled for different camera intrinsics).  Callers pass the
+        # config repr as ``salt``; functools.partial keywords are
+        # folded in automatically.
+        import functools
+
+        if isinstance(fn, functools.partial):
+            salt += repr(fn.args) + repr(sorted(fn.keywords.items()))
+        self._salt = salt
         self._per_shape: dict = {}
 
     def _specs(self, args):
@@ -76,6 +90,7 @@ class AotJit:
         h = hashlib.sha256()
         h.update(_package_hash().encode())
         h.update(jax.default_backend().encode())
+        h.update(self._salt.encode())
         h.update(str(treedef).encode())
         for leaf in leaves:
             h.update(str((jnp_shape(leaf), str(leaf.dtype))).encode())
@@ -181,6 +196,9 @@ def jnp_shape(x) -> tuple:
     return tuple(getattr(x, "shape", ()))
 
 
-def aot_jit(fn, tag: str) -> AotJit:
-    """Wrap ``fn`` with :class:`AotJit` under cache tag ``tag``."""
-    return AotJit(fn, tag)
+def aot_jit(fn, tag: str, salt: str = "") -> AotJit:
+    """Wrap ``fn`` with :class:`AotJit` under cache tag ``tag``.
+
+    ``salt`` must capture every non-argument value the traced program
+    depends on (e.g. ``repr(config)``) — see :class:`AotJit`."""
+    return AotJit(fn, tag, salt)
