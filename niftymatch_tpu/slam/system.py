@@ -1322,9 +1322,18 @@ class SlamSystem:
         _mark("posegraph_s")
         _stages["pg_edges"] = int(accepted)
         _stages["pg_cost"] = [float(c0), float(c1)]
-        if not (float(c1) <= float(c0)):
-            # Optimization rejected: no correction applied, report 0 so
-            # callers (finalize's early-stop) see no progress.
+        med_log_s = float(np.median(np.abs(np.log(
+            np.clip(np.asarray(scale_o), 1e-12, 1e12)))))
+        _stages["pg_med_log_scale"] = round(med_log_s, 4)
+        if not (float(c1) <= float(c0)) or med_log_s > 1.0:
+            # Optimization rejected: cost increased, or the correction
+            # rescales the median node by more than e (gauge sanity —
+            # node 0 is FIXED, so node scales express relative drift and
+            # a legitimate correction keeps the median near 1; on a
+            # dense-revisit graph a systematic sub-unit edge-scale bias
+            # compounded across finalize rounds into a 1e-6 map-scale
+            # collapse before this gate).  No correction applied;
+            # report 0 so finalize's early-stop sees no progress.
             return 0
         self._apply_sim3_correction(np.asarray(scale_o),
                                     np.asarray(poses_o))
