@@ -179,14 +179,31 @@ def sim3_edge_residual(si, Ti, sj, Tj, zs, zT) -> jnp.ndarray:
 
 
 @f32
-def sim3_graph_cost(graph: Sim3Graph) -> jnp.ndarray:
+def sim3_graph_cost(
+    graph: Sim3Graph, huber_delta: float | None = None
+) -> jnp.ndarray:
+    """Weighted residual cost; with ``huber_delta`` each edge's squared
+    residual norm is Huber-truncated (rho^2 below delta, linear above),
+    so a single wrong loop edge contributes a bounded pull instead of a
+    quadratic one."""
     r = jax.vmap(sim3_edge_residual)(
         graph.scale[graph.edge_i], graph.poses[graph.edge_i],
         graph.scale[graph.edge_j], graph.poses[graph.edge_j],
         graph.edge_s, graph.edge_T,
     )
     w = graph.edge_weight * graph.edge_valid.astype(jnp.float32)
-    return jnp.sum(w * jnp.sum(r * r, axis=-1))
+    rho2 = jnp.sum(r * r, axis=-1)
+    if huber_delta is not None:
+        rho = jnp.sqrt(jnp.maximum(rho2, 1e-24))
+        d = jnp.float32(huber_delta)
+        rho2 = jnp.where(rho <= d, rho2, 2.0 * d * rho - d * d)
+    return jnp.sum(w * rho2)
+
+
+def _huber_irls_weights(r: jnp.ndarray, huber_delta) -> jnp.ndarray:
+    """(E,) IRLS weights min(1, delta / ||r||) for the Huber kernel."""
+    rho = jnp.sqrt(jnp.maximum(jnp.sum(r * r, axis=-1), 1e-24))
+    return jnp.minimum(1.0, jnp.float32(huber_delta) / rho)
 
 
 @f32
@@ -194,15 +211,19 @@ def optimize_pose_graph_sim3(
     graph: Sim3Graph,
     iterations: int = 12,
     damping: float = 1e-6,
+    huber_delta: float | None = None,
 ) -> tuple[Sim3Graph, PGOStats]:
     """Damped Gauss-Newton over 7-DoF nodes, branchless accept/reject.
 
     Same structure as :func:`optimize_pose_graph` (autodiff edge
     Jacobians vmapped over the fixed-shape edge table, dense 7N x 7N
     normal equations, fixed-iteration scan) with the node state extended
-    by log-scale."""
+    by log-scale.  ``huber_delta`` enables IRLS Huber robustness: each
+    edge's weight is scaled by min(1, delta/||r||) at every outer
+    iteration and the accept/reject cost uses the matching robust
+    kernel, bounding any single wrong loop edge's influence."""
     N = graph.poses.shape[0]
-    init_cost = sim3_graph_cost(graph)
+    init_cost = sim3_graph_cost(graph, huber_delta)
 
     def r_of(xi_i, xi_j, si, Ti, sj, Tj, zs, zT):
         return sim3_edge_residual(
@@ -221,9 +242,10 @@ def optimize_pose_graph_sim3(
         Jj = jax.vmap(
             lambda *a: jax.jacfwd(r_of, argnums=1)(zero, zero, *a)
         )(*args)
-        w = (graph.edge_weight * graph.edge_valid.astype(jnp.float32))[
-            :, None, None
-        ]
+        w = graph.edge_weight * graph.edge_valid.astype(jnp.float32)
+        if huber_delta is not None:
+            w = w * _huber_irls_weights(r, huber_delta)
+        w = w[:, None, None]
         Hii = jnp.einsum("eki,ekj->eij", Ji, Ji) * w
         Hjj = jnp.einsum("eki,ekj->eij", Jj, Jj) * w
         Hij = jnp.einsum("eki,ekj->eij", Ji, Jj) * w
@@ -254,7 +276,7 @@ def optimize_pose_graph_sim3(
         scale, poses, lam, cost = carry
         cand_s, cand_T = solve(scale, poses, lam)
         new_cost = sim3_graph_cost(
-            graph._replace(scale=cand_s, poses=cand_T)
+            graph._replace(scale=cand_s, poses=cand_T), huber_delta
         )
         accept = new_cost < cost
         scale = jnp.where(accept, cand_s, scale)
@@ -280,6 +302,7 @@ def optimize_pose_graph_sim3_cg(
     iterations: int = 12,
     damping: float = 1e-6,
     cg_iterations: int = 64,
+    huber_delta: float | None = None,
 ) -> tuple[Sim3Graph, PGOStats]:
     """Sim(3) pose-graph Gauss-Newton with a MATRIX-FREE block-sparse CG
     inner solve (VERDICT r3 weak #5: the dense path assembles an
@@ -297,7 +320,7 @@ def optimize_pose_graph_sim3_cg(
     the dense solver to fp tolerance on small graphs (tested).
     """
     N = graph.poses.shape[0]
-    init_cost = sim3_graph_cost(graph)
+    init_cost = sim3_graph_cost(graph, huber_delta)
     ei, ej = graph.edge_i, graph.edge_j
 
     def r_of(xi_i, xi_j, si, Ti, sj, Tj, zs, zT):
@@ -319,9 +342,10 @@ def optimize_pose_graph_sim3_cg(
         Jj = jax.vmap(
             lambda *a: jax.jacfwd(r_of, argnums=1)(zero, zero, *a)
         )(*args)
-        w = (graph.edge_weight * graph.edge_valid.astype(jnp.float32))[
-            :, None, None
-        ]
+        w = graph.edge_weight * graph.edge_valid.astype(jnp.float32)
+        if huber_delta is not None:
+            w = w * _huber_irls_weights(r, huber_delta)
+        w = w[:, None, None]
         Hii = jnp.einsum("eki,ekj->eij", Ji, Ji) * w      # (E, 7, 7)
         Hjj = jnp.einsum("eki,ekj->eij", Jj, Jj) * w
         Hij = jnp.einsum("eki,ekj->eij", Ji, Jj) * w
@@ -394,7 +418,7 @@ def optimize_pose_graph_sim3_cg(
         scale, poses, lam, cost = carry
         cand_s, cand_T = solve(scale, poses, lam)
         new_cost = sim3_graph_cost(
-            graph._replace(scale=cand_s, poses=cand_T)
+            graph._replace(scale=cand_s, poses=cand_T), huber_delta
         )
         accept = new_cost < cost
         scale = jnp.where(accept, cand_s, scale)

@@ -1302,6 +1302,7 @@ class SlamSystem:
                     partial(
                         _cg_opt, iterations=iters, damping=1e-4,
                         cg_iterations=max(64, min(256, K_pad // 5)),
+                        huber_delta=1.0,
                     ),
                     f"pgo-cg-{K_pad}",
                 )
@@ -1310,6 +1311,7 @@ class SlamSystem:
                     partial(
                         optimize_pose_graph_sim3,
                         iterations=iters, damping=1e-4,
+                        huber_delta=1.0,
                     ),
                     "pgo-dense",
                 )
@@ -1322,17 +1324,21 @@ class SlamSystem:
         _mark("posegraph_s")
         _stages["pg_edges"] = int(accepted)
         _stages["pg_cost"] = [float(c0), float(c1)]
-        med_log_s = float(np.median(np.abs(np.log(
-            np.clip(np.asarray(scale_o), 1e-12, 1e12)))))
+        log_s = np.abs(np.log(
+            np.clip(np.asarray(scale_o), 1e-12, 1e12)))
+        med_log_s = float(np.median(log_s))
+        max_log_s = float(np.max(log_s))
         _stages["pg_med_log_scale"] = round(med_log_s, 4)
-        if not (float(c1) <= float(c0)) or med_log_s > 1.0:
+        _stages["pg_max_log_scale"] = round(max_log_s, 4)
+        if not (float(c1) <= float(c0)) or med_log_s > 1.0 or max_log_s > 4.0:
             # Optimization rejected: cost increased, or the correction
-            # rescales the median node by more than e (gauge sanity —
-            # node 0 is FIXED, so node scales express relative drift and
-            # a legitimate correction keeps the median near 1; on a
-            # dense-revisit graph a systematic sub-unit edge-scale bias
-            # compounded across finalize rounds into a 1e-6 map-scale
-            # collapse before this gate).  No correction applied;
+            # rescales the median node by more than e / ANY node by more
+            # than e^4 (gauge sanity — node 0 is FIXED, so node scales
+            # express relative drift and a legitimate correction keeps
+            # them moderate; a dense-revisit graph once blew tail-node
+            # scales up ~1e6 while the median stayed near 1, and a
+            # systematic sub-unit bias compounded across finalize rounds
+            # into a 1e-6 map-scale collapse).  No correction applied;
             # report 0 so finalize's early-stop sees no progress.
             return 0
         self._apply_sim3_correction(np.asarray(scale_o),
