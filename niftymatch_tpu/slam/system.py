@@ -553,7 +553,7 @@ class SlamSystem:
         for i in range(n_real):
             if not bool(acc[i]):
                 self._misses += 1
-                if self._misses >= self.config.reloc_after:
+                if self._reloc_due():
                     commit_rows()
                     feats_i = jax.tree.map(lambda a: a[i], feats_b)
                     info = self._maybe_relocalize(feats_i)
@@ -676,7 +676,7 @@ class SlamSystem:
         success, num_inl = bool(host[0]), int(host[1])
         if not success or num_inl < self.config.min_inliers:
             self._misses += 1
-            if self._misses >= self.config.reloc_after:
+            if self._reloc_due():
                 info = self._maybe_relocalize(feats)
                 if info is not None:
                     return info
@@ -767,6 +767,22 @@ class SlamSystem:
                 jnp.asarray(has),
             )
         )
+
+
+    def _reloc_due(self) -> bool:
+        """Attempt relocalization on this rejected frame?
+
+        Backoff after the first few attempts: during a long dropout
+        every garbage frame would otherwise pay a full batched reloc
+        query (one tunnel dispatch each — the dominant throughput cost
+        under dropout load).  Attempts fire at misses = after,
+        after+1, after+2, then every 4th miss, so recovery on the first
+        good frame is delayed at most 3 frames.
+        """
+        m, a = self._misses, self.config.reloc_after
+        if m < a:
+            return False
+        return m <= a + 2 or (m - a) % 4 == 0
 
     def _maybe_relocalize(self, feats: Features) -> dict | None:
         """Recovery query after ``reloc_after`` consecutive rejections:
@@ -1072,6 +1088,12 @@ class SlamSystem:
                 "graph_cost0": round(c0, 3),
             })
             if edges == 0 and not applied:
+                break
+            if edges == 0 and prev_c0 is not None and (
+                    abs(c0 - prev_c0) < 0.1 * prev_c0):
+                # Closure was gate-rejected and the re-detected graph is
+                # unchanged — repeating the (expensive) sweep+verify
+                # rounds will keep rejecting the same edges.
                 break
             # Convergence stop: each round re-detects edges against the
             # corrected map, so the re-built graph's INITIAL cost is a
