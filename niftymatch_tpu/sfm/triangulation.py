@@ -187,7 +187,10 @@ def _vote_cheirality(
     R = jnp.sum(ohf[..., None, None] * Rs, axis=-3)
     tt = jnp.sum(ohf[..., None] * ts, axis=-2)
     pts_w = jnp.sum(ohf[..., None, None] * pts, axis=-3)
-    good_w = jnp.sum(jnp.where(oh[..., None], good, False), axis=-2)
+    # any(), not sum(): a bool sum promotes to int32, and host code uses
+    # cheirality as a numpy mask — an int32 0/1 array would silently turn
+    # boolean masking into integer fancy-indexing (ADVICE r4 high).
+    good_w = jnp.any(good & oh[..., None], axis=-2)
     num = jnp.sum(jnp.where(oh, counts, 0), axis=-1)
     return PoseRecovery(
         R=R, t=tt, points=pts_w, cheirality=good_w, num_good=num

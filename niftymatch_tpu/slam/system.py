@@ -733,9 +733,12 @@ class SlamSystem:
         T = host_pose
         d_world = (world @ T[:, :3].T + T[:, 3])[:, 2]
         d_unit = tv_host["points"][:, 2]
+        # astype(bool): point_valid must be a boolean MASK — an int 0/1
+        # array here would turn d_world[ok] into integer fancy-indexing
+        # gathering only elements 0/1 (ADVICE r4 high).
         ok = (
             has_track
-            & tv_host["point_valid"]
+            & np.asarray(tv_host["point_valid"], bool)
             & (d_unit > 1e-3)
             & (d_world > 1e-3)
         )
@@ -1485,7 +1488,7 @@ class SlamSystem:
         world = self.track_positions[np.maximum(ids, 0)]
         d_world = (world @ pose[:, :3].T + pose[:, 3])[:, 2]
         d_unit = pts_unit[:, 2]
-        ok = has & pv & (d_unit > 1e-3) & (d_world > 1e-3)
+        ok = has & np.asarray(pv, bool) & (d_unit > 1e-3) & (d_world > 1e-3)
         if ok.sum() < 5:
             return None
         return float(np.median(d_world[ok] / d_unit[ok]))

@@ -16,6 +16,12 @@ invalidates the whole cache rather than risking a stale program.
 
 Set ``NIFTYMATCH_AOT_CACHE`` to choose the directory, or to the empty
 string to disable (every process then just uses ``jax.jit``).
+
+Trust model: the cache directory is created 0700 and entries are read
+through a *restricted* unpickler (only jax treedef machinery, stdlib
+containers and this package's pytree classes deserialize) — a writable
+cache dir must still be treated like any other code-adjacent state, but
+it is no longer an arbitrary-code-execution primitive (ADVICE r4).
 """
 
 from __future__ import annotations
@@ -90,6 +96,14 @@ class AotJit:
         h = hashlib.sha256()
         h.update(_package_hash().encode())
         h.update(jax.default_backend().encode())
+        # Device KIND too: export disables the tpu_custom_call safety
+        # check, so a dir shared between TPU generations (both backend
+        # "tpu") must not serve one generation's Mosaic program to the
+        # other (ADVICE r4).
+        try:
+            h.update(jax.devices()[0].device_kind.encode())
+        except Exception:  # pragma: no cover - backend without devices
+            pass
         h.update(self._salt.encode())
         h.update(str(treedef).encode())
         for leaf in leaves:
@@ -136,7 +150,7 @@ class AotJit:
 
         try:
             if path.exists():
-                payload = pickle.loads(path.read_bytes())
+                payload = _restricted_loads(path.read_bytes())
                 exp = jexport.deserialize(payload["blob"])
                 return _wrap(exp, payload["out_treedef"])
 
@@ -167,7 +181,11 @@ class AotJit:
                     tag,
                 )
                 return self._jit
-            path.parent.mkdir(parents=True, exist_ok=True)
+            path.parent.mkdir(mode=0o700, parents=True, exist_ok=True)
+            try:  # mkdir mode is umask-subject; enforce on the leaf dir
+                os.chmod(path.parent, 0o700)
+            except OSError:  # pragma: no cover - exotic filesystems
+                pass
             tmp = path.with_suffix(".tmp-%d" % os.getpid())
             tmp.write_bytes(
                 pickle.dumps({
@@ -190,6 +208,44 @@ class AotJit:
                 tag, e,
             )
             return self._jit
+
+
+def _restricted_loads(data: bytes):
+    """Unpickle a cache payload allowing ONLY treedef machinery.
+
+    The payload is ``{"blob": bytes, "out_treedef": PyTreeDef}``; the
+    treedef may reference NamedTuple/pytree classes from this package.
+    Everything else (os.system, subprocess, ...) is refused, so a
+    tampered cache entry raises instead of executing (ADVICE r4)."""
+    import io
+    import pickle
+
+    _ALLOWED_PREFIXES = (
+        "jax.",
+        "jaxlib.",
+        "builtins",
+        "collections",
+        "numpy",
+        "niftymatch_tpu.",
+    )
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            full = module + "."
+            if module in ("builtins", "collections", "numpy") or any(
+                full.startswith(p) for p in _ALLOWED_PREFIXES
+            ):
+                # Even within allowed modules, refuse obvious exec sinks.
+                if name in ("eval", "exec", "compile", "open", "__import__"):
+                    raise pickle.UnpicklingError(
+                        f"refusing {module}.{name} from AOT cache"
+                    )
+                return super().find_class(module, name)
+            raise pickle.UnpicklingError(
+                f"refusing {module}.{name} from AOT cache"
+            )
+
+    return _Unpickler(io.BytesIO(data)).load()
 
 
 def jnp_shape(x) -> tuple:

@@ -154,3 +154,7 @@ def test_recover_pose_cheirality(rng):
     # Triangulated points match up to the global scale ||t_true||
     scale = np.linalg.norm(t_true)
     np.testing.assert_allclose(np.asarray(rec.points) * scale, pts3, atol=0.1)
+    # Regression (ADVICE r4 high): cheirality must be BOOL — an int32
+    # 0/1 array silently turns downstream numpy masking (system.py
+    # _scale_vs_unit / _resolve_scale) into integer fancy-indexing.
+    assert np.asarray(rec.cheirality).dtype == np.bool_
