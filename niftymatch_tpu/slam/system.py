@@ -20,9 +20,7 @@ candidate pairs; verified closures become pose-graph edges; a final
 
 from __future__ import annotations
 
-import os
 import dataclasses
-from functools import partial
 from typing import List
 
 import numpy as np
@@ -32,9 +30,13 @@ import jax.numpy as jnp
 from ..config import BAConfig, RansacConfig, SiftConfig
 from ..features import Features
 from ..sfm.ba import BAProblem, bundle_adjust
-from ..sfm.se3 import camera_center, se3_compose, se3_identity
+from ..sfm.se3 import camera_center, se3_identity
 from ..sift import make_detector
 from ..ops.match import MatchResult
+from .closure import LoopCloser
+from .globalba import run_global_ba
+from .keyframe import Keyframe
+from .reloc import Relocalizer
 from .store import FeatureStore
 from .frontend import (
     estimate_two_view,
@@ -82,6 +84,12 @@ class SlamConfig:
     # waiting forever on the stale last keyframe.
     reloc_after: int = 2
     reloc_window: int = 6
+    # Temporal non-max suppression on loop candidates BEFORE verification
+    # (VERDICT r4 #3): within a (nms x nms) window on the (i, j) keyframe
+    # grid only the best-matched candidate survives — dense revisits
+    # otherwise flood the graph with near-duplicate edges the post-solve
+    # gate then has to reject wholesale.  0 disables.
+    loop_candidate_nms: int = 2
     # Landmark anchoring (VERDICT r3 #5): re-observed tracks keep their
     # stored (BA-refined) positions instead of re-triangulating every
     # frame.  Anchoring stops the multiplicative re-chaining of the
@@ -100,59 +108,6 @@ class SlamConfig:
     # pauses entirely — the TPU analogue of the reference pre-allocating
     # MAX_DESCRIPTORS-capacity SiftData up front (siftdata.h:15).
     store_capacity: int = 64
-
-
-class Keyframe:
-    """One SLAM keyframe.
-
-    Features live in the system's :class:`~.store.FeatureStore` (device-
-    resident, one row per keyframe); ``feats`` materialises the row on
-    first access and caches it.  Keyframes created on the per-frame path
-    pass ``feats`` directly (already materialised) *and* a store slot so
-    the loop-closure sweep can read every keyframe from one buffer.
-    ``pose`` is a host (3, 4) array for chunk-produced keyframes (it rides
-    the chunk's batched fetch) and a device array on the per-frame /
-    BA-output paths; both are valid jit arguments.
-    """
-
-    def __init__(
-        self,
-        index: int,
-        feats: Features | None = None,
-        pose=None,
-        track_ids: np.ndarray = None,
-        host_x: np.ndarray = None,
-        host_y: np.ndarray = None,
-        store=None,
-        slot: int | None = None,
-    ):
-        if feats is None and (store is None or slot is None):
-            raise ValueError(
-                "Keyframe needs feats or a (store, slot) reference"
-            )
-        self.index = index
-        self._feats = feats
-        self._store = store
-        self.slot = slot
-        self.pose = pose
-        self.track_ids = track_ids
-        # Host mirrors of the (immutable) keypoint coords — populated
-        # lazily or from an already-batched fetch so window assembly never
-        # re-crosses the device boundary.
-        self.host_x = host_x
-        self.host_y = host_y
-
-    @property
-    def feats(self) -> Features:
-        if self._feats is None:
-            self._feats = self._store.get(self.slot)
-        return self._feats
-
-    def ensure_host_coords(self):
-        if self.host_x is None:
-            self.host_x, self.host_y = jax.device_get(
-                (self.feats.x, self.feats.y)
-            )
 
 
 class SlamSystem:
@@ -202,24 +157,6 @@ class SlamSystem:
             )
         )
 
-        def _reloc(kf_feats_b, feats, poses_b, world_b, has_b):
-            # One batched dispatch: the lost frame vs W recent keyframes.
-            outs = jax.vmap(
-                lambda kf, T, w, h: slam_step(
-                    kf, feats, T, w, h, fx4, config.ransac
-                )
-            )(kf_feats_b, poses_b, world_b, has_b)
-            score = jnp.where(outs.success, outs.num_inliers, -1)
-            best = jnp.argmax(score)
-            return best, jax.tree.map(lambda a: a[best], outs)
-
-        from ..utils.aot import aot_jit as _aot_jit
-
-        # Reloc queries fire mid-sequence on rejected frames; a plain jit
-        # would pay its first trace+compile inside the throughput-critical
-        # segment (ATE r4: the hard clip's dropout gaps cost ~13 s of
-        # in-run compile).
-        self._reloc = _aot_jit(_reloc, "reloc", salt=repr(config))
         O_cap, L_cap = config.max_obs, config.ba_landmarks_cap
 
         def _ba_gated(pose_list, buf):
@@ -302,86 +239,7 @@ class SlamSystem:
             chunk_pad=config.chunk_size,
         )
 
-        # Cached jitted callables for loop closure / finalisation: building
-        # a fresh jax.jit(partial(...)) per call would re-trace every time
-        # (round-2 verdict weak #3).  The closure programs additionally go
-        # through the disk-persisted AOT export cache (utils/aot.py):
-        # their 5-10 s of Python TRACING per program dominated cold
-        # finalisation (VERDICT r3 weak #1) and is skipped entirely in any
-        # process after the first.
-        from ..utils.aot import aot_jit
-        from ..parallel.matching import allpairs_match
-
-        self._jit_allpairs = aot_jit(
-            partial(allpairs_match, ambiguity=0.7, mutual=True,
-                    return_indices=False),
-            "allpairs",
-        )
-        from ..parallel.matching import allpairs_match_pallas
-
-        self._jit_allpairs_pallas = aot_jit(
-            partial(allpairs_match_pallas, ambiguity=0.7, mutual=True,
-                    return_indices=False, precision="bf16"),
-            "allpairs-pallas",
-        )
-
-        def _cand_match(fa: Features, fb: Features):
-            from ..ops.match import (
-                mutual_matches, pairwise_sq_distances, ratio_test_matches,
-            )
-
-            def one(da, va, db, vb):
-                dm = pairwise_sq_distances(da, db)
-                fwd = ratio_test_matches(dm, 0.7, va, vb)
-                bwd = ratio_test_matches(dm.T, 0.7, vb, va)
-                return mutual_matches(fwd, bwd)
-
-            return jax.vmap(one)(fa.desc, fa.valid, fb.desc, fb.valid)
-
-        self._cand_match = aot_jit(_cand_match, "cand-match", salt=repr(config))
-        self._two_view_from_b = jax.jit(
-            jax.vmap(
-                lambda fa, fb, idx: two_view_from_matches(
-                    fa,
-                    fb,
-                    MatchResult(
-                        indices=idx,
-                        distances=jnp.zeros_like(idx, jnp.float32),
-                        ratios=jnp.ones_like(idx, jnp.float32),
-                    ),
-                    fx4,
-                    ransac_config=config.ransac,
-                )
-            )
-        )
-
-        def _match_verify(fa, fb, valid_row):
-            # Fused candidate re-match + two-view verification: the match
-            # indices never leave the device between the stages (each
-            # extra fetch/upload is a full tunnel round-trip).
-            idx = _cand_match(fa, fb)
-            idx = jnp.where(valid_row[:, None], idx, -1)
-            tv = jax.vmap(
-                lambda a, b, ix: two_view_from_matches(
-                    a,
-                    b,
-                    MatchResult(
-                        indices=ix,
-                        distances=jnp.zeros_like(ix, jnp.float32),
-                        ratios=jnp.ones_like(ix, jnp.float32),
-                    ),
-                    fx4,
-                    ransac_config=config.ransac,
-                )
-            )(fa, fb, idx)
-            return idx, tv
-
-        self._match_verify_b = aot_jit(
-            _match_verify, "match-verify", salt=repr(config)
-        )
         self._global_ba_jits: dict = {}
-        # Jitted Sim(3) pose-graph solvers per (node, edge, solver) bucket.
-        self._pgo_jits: dict = {}
         # In-flight windowed-BA landmark update, harvested (one batched
         # fetch) at the start of the next frame.
         self._pending_ba = None
@@ -391,7 +249,11 @@ class SlamSystem:
         self.track_positions = np.zeros((config.max_tracks, 3), np.float32)
         self.track_alive = np.zeros((config.max_tracks,), bool)
         self._frames_since_ba = 0
-        self._misses = 0  # consecutive rejected frames (reloc trigger)
+        # Subsystems: loop closure (candidate sweep / verify / Sim(3)
+        # solve / apply, slam/closure.py) and relocalization
+        # (slam/reloc.py) own their programs and state.
+        self.closer = LoopCloser(self)
+        self.reloc = Relocalizer(self)
 
     # ------------------------------------------------------------------
     # Public API
@@ -552,11 +414,11 @@ class SlamSystem:
 
         for i in range(n_real):
             if not bool(acc[i]):
-                self._misses += 1
-                if self._reloc_due():
+                self.reloc.note_miss()
+                if self.reloc.due():
                     commit_rows()
                     feats_i = jax.tree.map(lambda a: a[i], feats_b)
-                    info = self._maybe_relocalize(feats_i)
+                    info = self.reloc.maybe_relocalize(feats_i)
                     if info is not None:
                         results.append(info)
                         # Re-anchoring invalidates the rest of this chunk's
@@ -589,7 +451,7 @@ class SlamSystem:
                     {"keyframe": False, "num_inliers": int(ninl[i]), "tracked": 0}
                 )
                 continue
-            self._misses = 0
+            self.reloc.reset()
             last = self.keyframes[-1]
             # No per-frame device work here: the pose rides the batched
             # fetch above (48 bytes), and the feature row is committed to
@@ -675,13 +537,13 @@ class SlamSystem:
             self.track_positions[active] = host[8][: len(active)]
         success, num_inl = bool(host[0]), int(host[1])
         if not success or num_inl < self.config.min_inliers:
-            self._misses += 1
-            if self._reloc_due():
-                info = self._maybe_relocalize(feats)
+            self.reloc.note_miss()
+            if self.reloc.due():
+                info = self.reloc.maybe_relocalize(feats)
                 if info is not None:
                     return info
             return {"keyframe": False, "num_inliers": num_inl, "tracked": 0}
-        self._misses = 0
+        self.reloc.reset()
 
         kf = Keyframe(
             index=len(self.keyframes),
@@ -715,152 +577,15 @@ class SlamSystem:
         return np.asarray(jnp.stack([kf.pose for kf in self.keyframes]))
 
     # ------------------------------------------------------------------
-    # Internals
+    # Relocalization (slam/reloc.py) — thin delegation for API stability
     # ------------------------------------------------------------------
-    def _resolve_scale(
-        self, last: Keyframe, tv_host: dict, host_pose: np.ndarray
-    ) -> jnp.ndarray:
-        """Monocular scale: median ratio of known landmark depth (in the
-        last keyframe) to the unit-baseline triangulated depth, over
-        re-observed tracks.  First pair defines scale = 1.  Pure host math
-        (used by loop closure; the per-frame path resolves scale on device
-        inside ``slam_step``)."""
-        ids = last.track_ids
-        has_track = (ids >= 0) & self.track_alive[np.maximum(ids, 0)]
-        if not has_track.any() or len(self.keyframes) < 2:
-            return jnp.float32(1.0)
-        world = self.track_positions[np.maximum(ids, 0)]
-        T = host_pose
-        d_world = (world @ T[:, :3].T + T[:, 3])[:, 2]
-        d_unit = tv_host["points"][:, 2]
-        # astype(bool): point_valid must be a boolean MASK — an int 0/1
-        # array here would turn d_world[ok] into integer fancy-indexing
-        # gathering only elements 0/1 (ADVICE r4 high).
-        ok = (
-            has_track
-            & np.asarray(tv_host["point_valid"], bool)
-            & (d_unit > 1e-3)
-            & (d_world > 1e-3)
-        )
-        if ok.sum() < 5:
-            return jnp.float32(1.0)
-        return jnp.float32(np.median(d_world[ok] / d_unit[ok]))
-
     def prewarm_reloc(self):
-        """Compile/load the relocalization query program NOW.
-
-        The query otherwise first fires mid-sequence on a rejected frame,
-        putting its one-time trace+compile inside whatever the caller is
-        timing (ATE r4: dropout gaps cost 10+ s of in-run compile).
-        Requires at least one committed keyframe (shapes come from the
-        store); a no-op otherwise.  Result is discarded."""
-        if not self.keyframes:
-            return
-        W2 = 2 * self.config.reloc_window
-        kf0 = self.keyframes[0]
-        feats_b = self._store.gather([kf0.slot] * W2)
-        poses_b = jnp.stack([kf0.pose] * W2)
-        ids = np.stack([kf0.track_ids] * W2)
-        has = (ids >= 0) & self.track_alive[np.maximum(ids, 0)]
-        world = self.track_positions[np.maximum(ids, 0)]
-        feats = jax.tree.map(lambda a: a[0], feats_b)
-        jax.block_until_ready(
-            self._reloc(
-                feats_b, feats, poses_b, jnp.asarray(world),
-                jnp.asarray(has),
-            )
-        )
-
-
-    def _reloc_due(self) -> bool:
-        """Attempt relocalization on this rejected frame?
-
-        Backoff after the first few attempts: during a long dropout
-        every garbage frame would otherwise pay a full batched reloc
-        query (one tunnel dispatch each — the dominant throughput cost
-        under dropout load).  Attempts fire at misses = after,
-        after+1, after+2, then every 4th miss, so recovery on the first
-        good frame is delayed at most 3 frames.
-        """
-        m, a = self._misses, self.config.reloc_after
-        if m < a:
-            return False
-        return m <= a + 2 or (m - a) % 4 == 0
+        """Compile/load the relocalization query program now (see
+        :meth:`.reloc.Relocalizer.prewarm`)."""
+        self.reloc.prewarm()
 
     def _maybe_relocalize(self, feats: Features) -> dict | None:
-        """Recovery query after ``reloc_after`` consecutive rejections:
-        match the lost frame against the last ``reloc_window`` keyframes in
-        ONE batched dispatch (vmapped ``slam_step``), re-anchor at the best
-        successful hit, and resume tracking from there.  Returns the frame
-        info dict on success, None when recovery also fails."""
-        K = len(self.keyframes)
-        W = min(K, self.config.reloc_window)
-        if W < 1:
-            return None
-        # Candidate set: the last W keyframes (local recovery) plus up to
-        # W stride-sampled over the WHOLE map (global re-localization —
-        # after a long dropout the nearest view may be from a much
-        # earlier pass, e.g. the start of a closed loop; querying only
-        # the recent tail can never recover there).  One batched
-        # dispatch either way; the list is padded to the 2W bucket by
-        # repeating the last index so the compiled program is reused.
-        idx = list(range(K - W, K))
-        older = K - W
-        if older > 0:
-            stride = max(1, older // W)
-            sampled = list(range(0, older, stride))[:W]
-            idx = sampled + idx
-        pad = 2 * self.config.reloc_window - len(idx)
-        idx = idx + [K - 1] * max(pad, 0)
-        kfs = [self.keyframes[i] for i in idx]
-        feats_b = self._store.gather([k.slot for k in kfs])
-        poses_b = jnp.stack([k.pose for k in kfs])
-        ids = np.stack([k.track_ids for k in kfs])
-        has = (ids >= 0) & self.track_alive[np.maximum(ids, 0)]
-        world = self.track_positions[np.maximum(ids, 0)]
-        best, out = self._reloc(
-            feats_b, feats, poses_b, jnp.asarray(world), jnp.asarray(has)
-        )
-        host = jax.device_get(
-            (
-                best,
-                out.success,
-                out.num_inliers,
-                out.indices,
-                out.inliers,
-                out.points_w,
-                out.points_valid,
-                feats.x,
-                feats.y,
-            )
-        )
-        b, ok, n_inl = int(host[0]), bool(host[1]), int(host[2])
-        if not ok or n_inl < self.config.min_inliers:
-            return None
-        anchor = kfs[b]
-        kf = Keyframe(
-            index=len(self.keyframes),
-            feats=feats,
-            pose=out.pose,
-            track_ids=np.full((host[7].shape[0],), -1, np.int64),
-            host_x=host[7],
-            host_y=host[8],
-            store=self._store,
-            slot=self._store.stage_single(feats),
-        )
-        tracked = self._propagate_tracks(
-            anchor, kf, m_idx=host[3], inl=host[4], pts_w=host[5], valid_w=host[6]
-        )
-        self.keyframes.append(kf)
-        self._misses = 0
-        self._frames_since_ba += 1
-        return {
-            "keyframe": True,
-            "num_inliers": n_inl,
-            "tracked": tracked,
-            "reloc": True,
-            "anchor": anchor.index,
-        }
+        return self.reloc.maybe_relocalize(feats)
 
     def _ensure_track_capacity(self, need: int):
         """Double the host-side track arrays when the id space fills up.
@@ -991,539 +716,34 @@ class SlamSystem:
         return (poses, jnp.asarray(buf)), active, window
 
     # ------------------------------------------------------------------
-    # Loop closure
+    # Loop closure / finalisation (slam/closure.py, slam/globalba.py) —
+    # thin delegation for API stability
     # ------------------------------------------------------------------
-    def _allpairs_sweep(self):
-        """All-pairs keyframe match-count sweep — ring-scheduled over the
-        device mesh when one is available (SURVEY.md §5), dense single-jit
-        otherwise.  Reads the FeatureStore buffers directly (no per-
-        keyframe stacking) at their power-of-two capacity, so the compiled
-        program is reused across keyframe growth; rows >= count are masked
-        on the host.  Counts only: per-candidate indices are recovered by
-        a batched re-match of just the candidate pairs, keeping sweep
-        memory at O(K^2) instead of O(K^2 N)."""
-        from ..parallel.matching import ring_allpairs_match
-
-        buf = self._store.view()
-        if len(jax.devices()) > 1:
-            from ..parallel import make_keyframe_mesh
-
-            return ring_allpairs_match(
-                buf.desc,
-                buf.valid,
-                make_keyframe_mesh(),
-                ambiguity=0.7,
-                mutual=True,
-                return_indices=False,
-            )
-        if jax.default_backend() == "tpu":
-            # Fused-kernel sweep: K tall-skinny matches in one scan (the
-            # kernel's best regime) instead of K^2 oracle GEMMs.
-            return self._jit_allpairs_pallas(buf.desc, buf.valid)
-        return self._jit_allpairs(buf.desc, buf.valid)
-
-    def _padded_pairs(self, pairs):
-        """Gather both sides of a keyframe-pair list from the store, padded
-        to a power-of-two count (masked later) — ONE dispatch per side."""
-        n = len(pairs)
-        n_pad = 1 << int(np.ceil(np.log2(max(n, 1))))
-        pa = [p[0] for p in pairs] + [0] * (n_pad - n)
-        pb = [p[1] for p in pairs] + [0] * (n_pad - n)
-        return self._store.gather(pa), self._store.gather(pb), n_pad
+    @property
+    def last_closure_stages(self) -> dict:
+        """Per-stage timings + diagnostics of the most recent
+        :meth:`close_loops` call."""
+        return self.closer.last_stages
 
     def match_keyframes(self, pairs) -> np.ndarray:
-        """Mutual ratio-test match indices for a list of keyframe index
-        pairs [(a, b), ...], batched ``loop_verify_batch`` pairs per
-        dispatch (an unbounded vmap materialises an N x N distance matrix
-        per pair).  Returns (len(pairs), N) int32 — slot in b matched by
-        slot n of a, -1 if unmatched."""
-        if not pairs:
-            return np.zeros((0, 0), np.int32)
-        B = self.config.loop_verify_batch
-        outs = []
-        for lo in range(0, len(pairs), B):
-            part = pairs[lo:lo + B]
-            fa, fb, _ = self._padded_pairs(part)
-            outs.append(np.asarray(self._cand_match(fa, fb))[: len(part)])
-        return np.concatenate(outs)
+        """Mutual ratio-test match indices for keyframe index pairs
+        (see :meth:`.closure.LoopCloser.match_keyframes`)."""
+        return self.closer.match_keyframes(pairs)
 
     def detect_loop_candidates(self, return_matches: bool = False):
-        """All-pairs keyframe sweep -> candidate (i, j) pairs (i < j,
-        j - i >= loop_min_gap) with enough mutual matches.  With
-        ``return_matches``, the candidate pairs (only) are re-matched in
-        ONE batched dispatch so verification never re-matches
-        pair-by-pair."""
-        K = len(self.keyframes)
-        if K < self.config.loop_min_gap + 2:
-            return ([], None) if return_matches else []
-        res = self._allpairs_sweep()
-        counts = np.asarray(res.counts)[:K, :K]
-        hit = counts >= self.config.loop_min_matches
-        iu, ju = np.nonzero(np.triu(hit, k=self.config.loop_min_gap))
-        cands = [(int(i), int(j), int(counts[i, j])) for i, j in zip(iu, ju)]
-        if not return_matches:
-            return cands
-        if not cands:
-            return [], None
-        cand_idx = self.match_keyframes([(c[0], c[1]) for c in cands])
-        return cands, cand_idx
-
-    def finalize(self, rounds: int = 3) -> dict:
-        """Alternate Sim(3) loop closure and global bundle adjustment.
-
-        One closure pass estimates each loop edge's relative scale from
-        the CURRENT map, and the pose-graph/GBA correction then improves
-        that map — so re-detecting and re-closing converges further
-        (measured on the 96-frame golden loop: Sim3 ATE 2.53 single pass
-        -> 0.42 after three rounds).  Stops early when a round accepts no
-        edges and GBA is rejected.  Returns per-round stats."""
-        stats = []
-        prev_c0 = None
-        for _ in range(rounds):
-            edges = self.close_loops()
-            applied = self.global_ba()
-            c0 = float(
-                self.last_closure_stages.get("pg_cost", [np.inf])[0]
-            )
-            stats.append({
-                "loop_edges": int(edges),
-                "global_ba": bool(applied),
-                "graph_cost0": round(c0, 3),
-            })
-            if edges == 0 and not applied:
-                break
-            if edges == 0 and prev_c0 is not None and (
-                    abs(c0 - prev_c0) < 0.1 * prev_c0):
-                # Closure was gate-rejected and the re-detected graph is
-                # unchanged — repeating the (expensive) sweep+verify
-                # rounds will keep rejecting the same edges.
-                break
-            # Convergence stop: each round re-detects edges against the
-            # corrected map, so the re-built graph's INITIAL cost is a
-            # GT-free consistency measure of the map after the previous
-            # round.  When it stops dropping, further alternation only
-            # re-fits measurement noise (measured on the hard clip:
-            # post-closure Sim3 ATE 0.275 degraded to 0.594 over two
-            # blind extra rounds).
-            per_edge = c0 / max(float(self.config.loop_weight) *
-                                max(edges, 1), 1e-9)
-            if per_edge < 1.0:
-                break  # map already consistent at sub-residual level
-            if prev_c0 is not None and not (c0 < 0.9 * prev_c0):
-                break
-            prev_c0 = c0
-        return {"rounds": stats}
+        """Candidate loop pairs from the all-pairs sweep (see
+        :meth:`.closure.LoopCloser.detect_candidates`)."""
+        return self.closer.detect_candidates(return_matches)
 
     def close_loops(self) -> int:
-        """Verify loop candidates geometrically, build a Sim(3) pose graph
-        with odometry + loop edges, optimize, and update keyframe poses AND
-        landmark positions.  Returns the number of accepted loop edges.
+        """One loop-closure pass (see
+        :meth:`.closure.LoopCloser.close_loops`)."""
+        return self.closer.close_loops()
 
-        Monocular odometry accumulates SCALE drift as well as pose drift;
-        the graph is therefore over Sim(3) (Strasdat RSS 2010 / ORB-SLAM
-        loop closing): each loop edge carries a relative scale estimated
-        from landmark-depth ratios at BOTH ends, and the optimizer
-        distributes the scale error around the loop.  Landmarks are then
-        corrected through their last observing keyframe's Sim(3) update
-        (reprojection-invariant at that keyframe)."""
-        from ..sfm.posegraph import Sim3Graph, optimize_pose_graph_sim3
-        from ..sfm.se3 import se3_compose, se3_inverse
-        import time as _time
-
-        _stage_t0 = _time.perf_counter()
-        _stages: dict = {}
-
-        def _mark(name):
-            nonlocal _stage_t0
-            now = _time.perf_counter()
-            _stages[name] = round(now - _stage_t0, 3)
-            _stage_t0 = now
-
-        self.last_closure_stages = _stages
-        self.flush_ba()
-        _mark("flush_ba_s")
-        cands = self.detect_loop_candidates()
-        _mark("candidate_sweep_s")
-        K = len(self.keyframes)
-        edges_i, edges_j, edges_s, edges_T, weights = [], [], [], [], []
-        # Odometry edges from current (BA-refined) consecutive poses —
-        # computed in one batched device call, fetched once.
-        poses_all = jnp.stack([kf.pose for kf in self.keyframes])
-        Z_all = np.asarray(
-            jax.vmap(lambda a, b: se3_compose(b, se3_inverse(a)))(
-                poses_all[:-1], poses_all[1:]
-            )
-        )
-        for k in range(K - 1):
-            edges_i.append(k + 1)
-            edges_j.append(k)
-            edges_s.append(1.0)
-            edges_T.append(Z_all[k])
-            weights.append(1.0)
-        accepted = 0
-        if len(cands) > self.config.max_loop_candidates:
-            # Keep the best-matched candidates: verification vmaps a dual
-            # RANSAC per candidate, which cannot scale unboundedly.
-            cands = sorted(cands, key=lambda c: -c[2])[
-                : self.config.max_loop_candidates
-            ]
-            cands.sort()
-        poses_h = np.asarray(jax.device_get(poses_all))  # one fetch, reused
-        edge_consistency: list = []
-        edge_ninls: list = []
-        if cands:
-            # Fused re-match + verification per fixed-size batch: ONE
-            # dispatch and ONE fetch per batch (compiled once per bucket).
-            B = self.config.loop_verify_batch
-            oks, ninls, ptss, pvs, Rs, ts, idxs = [], [], [], [], [], [], []
-            for lo in range(0, len(cands), B):
-                part = cands[lo:lo + B]
-                fa, fb, n_pad = self._padded_pairs(
-                    [(c[0], c[1]) for c in part]
-                )
-                row_valid = np.zeros((n_pad,), bool)
-                row_valid[: len(part)] = True
-                idx_d, tvb = self._match_verify_b(
-                    fa, fb, jnp.asarray(row_valid)
-                )
-                got = jax.device_get(
-                    (idx_d, tvb.success, tvb.num_inliers, tvb.points,
-                     tvb.point_valid, tvb.R, tvb.t)
-                )
-                m = len(part)
-                idxs.append(got[0][:m])
-                oks.append(got[1][:m]); ninls.append(got[2][:m])
-                ptss.append(got[3][:m]); pvs.append(got[4][:m])
-                Rs.append(got[5][:m]); ts.append(got[6][:m])
-            cand_idx = np.concatenate(idxs)
-            ok_b = np.concatenate(oks); ninl_b = np.concatenate(ninls)
-            pts_b = np.concatenate(ptss); pv_b = np.concatenate(pvs)
-            R_b = np.concatenate(Rs); t_b = np.concatenate(ts)
-            for c, (j, i, _cnt) in enumerate(cands):  # j < i: edge i -> j
-                if not bool(ok_b[c]) or int(ninl_b[c]) < self.config.loop_min_matches:
-                    continue
-                kf_j, kf_i = self.keyframes[j], self.keyframes[i]
-                # Scale of the unit-baseline triangulation in EACH frame's
-                # local map: s_j from kf_j's tracks vs unit depths in j,
-                # s_i from kf_i's tracks vs the same points moved to i.
-                pose_j = poses_h[j]
-                pose_i = poses_h[i]
-                s_j = self._scale_vs_unit(
-                    kf_j, pts_b[c], pv_b[c], pose_j)
-                pts_i = pts_b[c] @ R_b[c].T + t_b[c]
-                midx = cand_idx[c]
-                s_i = self._scale_vs_unit(
-                    kf_i, pts_i, pv_b[c] & (midx >= 0), pose_i,
-                    slot_map=midx,
-                )
-                if s_j is None or s_i is None:
-                    continue
-                # Sim(3) measurement Z = S_i o S_j^-1.  The relative map
-                # scale is estimated PREFERENTIALLY from pair-distance
-                # ratios of the two keyframes' stored landmarks over the
-                # matched slots: |X_i_k - X_i_l| / |X_j_k - X_j_l| is a
-                # direct observation of scale_i/scale_j, invariant to the
-                # (drifted) rigid alignment between the two map epochs —
-                # far more robust than the ratio of two unit-baseline
-                # depth medians, whose i-side estimate mixes landmark
-                # birth epochs (one 2x-off edge scale makes the Sim(3)
-                # graph confidently blow up the loop tail: measured
-                # closure 3.1 -> 5.5 instead of 3.1 -> 0.8 on the
-                # 100-keyframe test).  Depth medians remain the fallback
-                # when too few matched slots are tracked on both sides.
-                s_pairs = (
-                    None
-                    if os.environ.get("NIFTYMATCH_EDGE_SCALE") == "median"
-                    else self._edge_scale_pairs(kf_j, kf_i, midx)
-                )
-                s_med = s_i / s_j if s_j > 0 else np.nan
-                # The two estimators fail differently: the depth-ratio
-                # median has lower variance (its i- and j-side biases
-                # cancel when both keyframes observe the same landmark
-                # set) but mixes landmark birth epochs on long loops —
-                # measured 2.5x off on the 100-kf closed loop, which the
-                # Sim(3) graph then confidently amplified into a 90x
-                # tail blowup; the pair-distance ratio is epoch-robust
-                # but noisier.  Use the median when they agree (within
-                # 20% in log), else trust the pair estimate.
-                if s_pairs is None:
-                    s_rel = s_med
-                elif np.isfinite(s_med) and abs(
-                        np.log(max(s_med, 1e-9) / s_pairs)) < 0.2:
-                    s_rel = s_med
-                else:
-                    s_rel = s_pairs
-                    # Translation in i's local metric: baseline-in-j's-
-                    # metric (the reliable j-side median) times the ratio.
-                    if s_j > 0:
-                        s_i = s_j * s_pairs
-                T_rel = np.concatenate(
-                    [R_b[c], (s_i * t_b[c])[:, None]], axis=-1
-                ).astype(np.float32)
-                if not (np.isfinite(s_rel) and s_rel > 1e-4
-                        and s_rel < 1e4 and np.isfinite(T_rel).all()):
-                    continue
-                from ..sfm.se3 import se3_compose as _cmp, se3_inverse as _inv
-                pred = np.asarray(_cmp(jnp.asarray(pose_i),
-                                       _inv(jnp.asarray(pose_j))))
-                # Edge inconsistency vs the current poses: relative
-                # translation gap + squared log-scale.  Drives the
-                # iteration budget below.
-                dt = float(np.sum((T_rel[:, 3] - pred[:, 3]) ** 2))
-                cons = dt / (1.0 + float(np.sum(pred[:, 3] ** 2)))
-                cons += float(np.log(max(s_rel, 1e-9)) ** 2)
-                edge_consistency.append(cons)
-                if os.environ.get("NIFTYMATCH_DEBUG_CLOSURE"):
-                    print(f"edge {j}->{i}: s_j={s_j:.4f} s_i={s_i:.4f} "
-                          f"s_rel={s_rel:.4f} ninl={int(ninl_b[c])} "
-                          f"cons={cons:.4f}\n"
-                          f"  T_meas t={T_rel[:, 3]}\n  T_pred t={pred[:, 3]}")
-                edges_i.append(i)
-                edges_j.append(j)
-                edges_s.append(s_rel)
-                edges_T.append(T_rel)
-                weights.append(self.config.loop_weight)
-                edge_ninls.append(int(ninl_b[c]))
-                accepted += 1
-        _mark("verify_s")
-        if accepted == 0:
-            return 0
-        n_odo = K - 1
-        loop_ids = list(range(n_odo, len(weights)))
-        applied_edges = 0
-        # Gate-rejection retry: if the full edge set fails the sanity
-        # gates below (a few wrong edges can defeat even the Huber
-        # kernel when they agree with each other), retry once with only
-        # the better-verified half of the loop edges (by inlier count).
-        for attempt in (0, 1):
-            sel = loop_ids
-            if attempt == 1:
-                if len(loop_ids) < 4:
-                    break
-                med_ninl = float(np.median(
-                    [edge_ninls[e - n_odo] for e in loop_ids]))
-                sel = [e for e in loop_ids
-                       if edge_ninls[e - n_odo] >= med_ninl]
-                if len(sel) == len(loop_ids):
-                    break
-            keep = list(range(n_odo)) + sel
-            ok, scale_o, poses_o = self._solve_sim3_graph(
-                K,
-                [edges_i[e] for e in keep],
-                [edges_j[e] for e in keep],
-                [edges_s[e] for e in keep],
-                [edges_T[e] for e in keep],
-                [weights[e] for e in keep],
-                [edge_consistency[e - n_odo] for e in keep
-                 if e >= n_odo],
-                _stages,
-            )
-            if ok:
-                applied_edges = len(sel)
-                break
-        _mark("posegraph_s")
-        if not applied_edges:
-            return 0
-        self._apply_sim3_correction(np.asarray(scale_o),
-                                    np.asarray(poses_o))
-        _mark("apply_s")
-        return applied_edges
-
-    def _solve_sim3_graph(self, K, edges_i, edges_j, edges_s, edges_T,
-                          weights, loop_consistency, _stages):
-        """Build the padded Sim(3) graph, solve with the bucket-cached
-        jitted optimizer, and evaluate the sanity gates.  Returns
-        (ok, node_scales, node_poses).
-
-        Pad BOTH tables to powers of two — edges masked by edge_valid,
-        nodes as fixed disconnected dummies (identity rows in either
-        solver) — so the jitted optimizer compiles once per
-        (node bucket, edge bucket, solver), not per closure.  (The
-        previous EAGER call dispatched the optimizer op-by-op through
-        the accelerator tunnel: 21 s of the 43 s first-closure wall
-        time was this one stage.)"""
-        from ..sfm.posegraph import Sim3Graph, optimize_pose_graph_sim3
-
-        E = len(weights)
-        E_pad = 1 << int(np.ceil(np.log2(max(E, 8))))
-        K_pad = 1 << int(np.ceil(np.log2(max(K, 16))))
-        fixed = np.ones(K_pad, bool)
-        fixed[1:K] = False
-        ei = np.zeros(E_pad, np.int32); ei[:E] = edges_i
-        ej = np.zeros(E_pad, np.int32); ej[:E] = edges_j
-        es = np.ones(E_pad, np.float32); es[:E] = edges_s
-        eT = np.tile(np.eye(3, 4, dtype=np.float32), (E_pad, 1, 1))
-        eT[:E] = np.stack(edges_T)
-        ew = np.zeros(E_pad, np.float32); ew[:E] = weights
-        ev = np.zeros(E_pad, bool); ev[:E] = True
-        poses_pad = np.tile(np.eye(3, 4, dtype=np.float32), (K_pad, 1, 1))
-        poses_pad[:K] = np.stack([
-            np.asarray(kf.pose) for kf in self.keyframes])
-        graph = Sim3Graph(
-            scale=jnp.ones(K_pad),
-            poses=jnp.asarray(poses_pad),
-            edge_i=jnp.asarray(ei),
-            edge_j=jnp.asarray(ej),
-            edge_s=jnp.asarray(es),
-            edge_T=jnp.asarray(eT),
-            edge_weight=jnp.asarray(ew),
-            edge_valid=jnp.asarray(ev),
-            node_fixed=jnp.asarray(fixed),
-        )
-        edge_consistency = loop_consistency
-        use_cg = K_pad >= 512
-        # Iteration budget scaled to the measured graph inconsistency
-        # (trust-region flavour): a graph whose loop edges already agree
-        # with the current poses (mean consistency < 1e-2; the 12-kf
-        # noise-floor regime measures ~1e-3) gets a MILD early-stopped
-        # correction — running such a graph to convergence only fits
-        # measurement noise and moves ATE the wrong way — while a
-        # drifted graph (the 100-keyframe loop measures ~1.0) needs the
-        # full budget: at 16 iterations its half-converged state blew
-        # the loop tail up 90x before the cost gate could see it.
-        mean_cons = float(np.mean(edge_consistency)) if edge_consistency else 0.0
-        iters = 12 if mean_cons < 1e-2 else 48
-        key = (K_pad, E_pad, use_cg, iters)
-        solver = self._pgo_jits.get(key)
-        if solver is None:
-            from ..sfm.posegraph import (
-                optimize_pose_graph_sim3_cg as _cg_opt,
-            )
-
-            from ..utils.aot import aot_jit
-
-            if use_cg:
-                # Dense 7Nx7N assembly is O(K^2) memory / O(K^3) solve;
-                # above a few hundred keyframes use the matrix-free
-                # block-sparse CG solver (O(K + E) memory, same LM
-                # schedule — agreement tested in test_posegraph_sim3.py).
-                solver = aot_jit(
-                    partial(
-                        _cg_opt, iterations=iters, damping=1e-4,
-                        cg_iterations=max(64, min(256, K_pad // 5)),
-                        huber_delta=1.0,
-                    ),
-                    f"pgo-cg-{K_pad}",
-                )
-            else:
-                solver = aot_jit(
-                    partial(
-                        optimize_pose_graph_sim3,
-                        iterations=iters, damping=1e-4,
-                        huber_delta=1.0,
-                    ),
-                    "pgo-dense",
-                )
-            self._pgo_jits[key] = solver
-        out, stats = solver(graph)
-        c0, c1, scale_o, poses_o = jax.device_get(
-            (stats.initial_cost, stats.final_cost,
-             out.scale[:K], out.poses[:K])
-        )
-        _stages["pg_edges"] = E - (K - 1)
-        _stages["pg_cost"] = [float(c0), float(c1)]
-        log_s = np.abs(np.log(
-            np.clip(np.asarray(scale_o), 1e-12, 1e12)))
-        med_log_s = float(np.median(log_s))
-        max_log_s = float(np.max(log_s))
-        _stages["pg_med_log_scale"] = round(med_log_s, 4)
-        _stages["pg_max_log_scale"] = round(max_log_s, 4)
-        if not (float(c1) <= float(c0)) or med_log_s > 1.0 or max_log_s > 4.0:
-            # Optimization rejected: cost increased, or the correction
-            # rescales the median node by more than e / ANY node by more
-            # than e^4 (gauge sanity — node 0 is FIXED, so node scales
-            # express relative drift and a legitimate correction keeps
-            # them moderate; a dense-revisit graph once blew tail-node
-            # scales up ~1e6 while the median stayed near 1, and a
-            # systematic sub-unit bias compounded across finalize rounds
-            # into a 1e-6 map-scale collapse).
-            return False, None, None
-        return True, scale_o, poses_o
-
-    def _edge_scale_pairs(
-        self, kf_j, kf_i, midx, min_pts: int = 8
-    ) -> float | None:
-        """Relative map scale (scale_i / scale_j) from pair-distance
-        ratios of the two keyframes' stored landmarks over matched slots.
-
-        For matched physical points with stored positions X_j (kf_j's
-        map epoch) and X_i (kf_i's), every index pair (k, l) gives one
-        scale observation |X_i_k - X_i_l| / |X_j_k - X_j_l| regardless
-        of the rigid drift between the epochs.  Median over all pairs
-        (vectorised outer difference; the matched set is <= a few
-        hundred points).  None when fewer than ``min_pts`` matched
-        slots are tracked with live landmarks on BOTH sides."""
-        tid_j = kf_j.track_ids
-        ok = (midx >= 0) & (tid_j >= 0)
-        tid_i = np.where(ok, kf_i.track_ids[np.maximum(midx, 0)], -1)
-        ok &= tid_i >= 0
-        ok &= self.track_alive[np.maximum(tid_j, 0)]
-        ok &= self.track_alive[np.maximum(tid_i, 0)]
-        sel = np.nonzero(ok)[0]
-        if sel.size < min_pts:
-            return None
-        X_j = self.track_positions[tid_j[sel]]
-        X_i = self.track_positions[tid_i[sel]]
-        d_j = np.linalg.norm(X_j[:, None] - X_j[None, :], axis=-1)
-        d_i = np.linalg.norm(X_i[:, None] - X_i[None, :], axis=-1)
-        iu = np.triu_indices(sel.size, k=1)
-        dj, di = d_j[iu], d_i[iu]
-        good = dj > 1e-6
-        if int(good.sum()) < min_pts:
-            return None
-        s = float(np.median(di[good] / dj[good]))
-        return s if np.isfinite(s) and 1e-4 < s < 1e4 else None
-
-    def _scale_vs_unit(self, kf, pts_unit, pv, pose, slot_map=None):
-        """Median ratio of the keyframe's known landmark depths to the
-        unit-baseline triangulated depths (both in the keyframe's camera).
-        ``slot_map``: map from triangulation slots (frame A) to this
-        keyframe's feature slots (for the B side of the pair).  Returns
-        None when too few re-observed tracks support the estimate."""
-        slots = slot_map if slot_map is not None else np.arange(
-            len(kf.track_ids))
-        safe = np.maximum(slots, 0)
-        ids = kf.track_ids[safe]
-        has = (slots >= 0) & (ids >= 0) & self.track_alive[np.maximum(ids, 0)]
-        world = self.track_positions[np.maximum(ids, 0)]
-        d_world = (world @ pose[:, :3].T + pose[:, 3])[:, 2]
-        d_unit = pts_unit[:, 2]
-        ok = has & np.asarray(pv, bool) & (d_unit > 1e-3) & (d_world > 1e-3)
-        if ok.sum() < 5:
-            return None
-        return float(np.median(d_world[ok] / d_unit[ok]))
-
-    def _apply_sim3_correction(self, scale: np.ndarray, poses: np.ndarray):
-        """Write back optimized Sim(3) nodes: keyframe k's corrected SE(3)
-        pose is (R_k, t_k / s_k); each landmark is mapped through its last
-        observing keyframe's correction  p' = S_new^-1(S_old(p)), which
-        leaves its projection in that keyframe unchanged."""
-        # ONE batched fetch: per-keyframe device_get would pay a full
-        # tunnel round-trip per keyframe.
-        old_poses = np.stack(
-            [np.asarray(p) for p in
-             jax.device_get([kf.pose for kf in self.keyframes])]
-        )
-        # Last observing keyframe per track (host ints).
-        last_kf = np.full(self.track_positions.shape[0], -1, np.int64)
-        for k, kf in enumerate(self.keyframes):
-            ids = kf.track_ids
-            last_kf[ids[ids >= 0]] = k
-        tids = np.nonzero((last_kf >= 0) & self.track_alive)[0]
-        if tids.size:
-            ks = last_kf[tids]
-            p = self.track_positions[tids]
-            To = old_poses[ks]
-            p_cam = np.einsum("nij,nj->ni", To[:, :, :3], p) + To[:, :, 3]
-            Tn = poses[ks]
-            s = scale[ks]
-            q = p_cam - Tn[:, :, 3]
-            p_new = np.einsum("nji,nj->ni", Tn[:, :, :3], q) / s[:, None]
-            self.track_positions[tids] = p_new.astype(np.float32)
-        corr = poses.copy()
-        corr[:, :, 3] /= scale[:, None]
-        for k, kf in enumerate(self.keyframes):
-            kf.pose = jnp.asarray(corr[k])
+    def finalize(self, rounds: int = 3) -> dict:
+        """Monotone closure <-> global-BA alternation (see
+        :meth:`.closure.LoopCloser.finalize`)."""
+        return self.closer.finalize(rounds)
 
     def global_ba(
         self,
@@ -1531,101 +751,12 @@ class SlamSystem:
         use_cg: bool | None = None,
         max_landmarks: int | None = None,
     ) -> bool:
-        """Final full-trajectory bundle adjustment over ALL keyframes and
-        their tracks (the global-BA stage of BASELINE configs 3-5; the
-        per-frame loop only ever solves the trailing ``ba_window``).
-
-        Solver selection: the dense Schur solver for small problems, the
-        matrix-free Schur-PCG (``sfm.ba_cg``) when the dense (C, L, 6, 3)
-        camera-landmark coupling block would be memory-prohibitive.
-        Problem shapes are padded to power-of-two buckets so repeated
-        finalisation calls reuse the compile.
-
-        This is a finalisation pass, not per-frame work: one dispatch and
-        one blocking fetch.  The solve is applied only if it lowers the
-        robust cost; returns True when applied."""
-        self.flush_ba()
-        K = len(self.keyframes)
-        if K < 3:
-            return False
-        cfg = self.config
-        ids = np.stack([kf.track_ids for kf in self.keyframes])  # (K, N)
-        has = ids >= 0
-        if not has.any():
-            return False
-        counts = np.bincount(ids[has],
-                             minlength=self.track_positions.shape[0])
-        # Mask tracks culled as outliers during tracking: reintroducing
-        # dead tracks with stale positions can locally degrade the solve
-        # even when the aggregate robust cost still decreases.
-        active = np.nonzero((counts >= 2) & self.track_alive)[0]
-        if len(active) < 8:
-            return False
-        if max_landmarks is not None and len(active) > max_landmarks:
-            order = np.argsort(-counts[active], kind="stable")
-            active = np.sort(active[order[:max_landmarks]])
-        lmap = np.full(self.track_positions.shape[0], -1, np.int64)
-        lmap[active] = np.arange(len(active))
-        for kf in self.keyframes:
-            kf.ensure_host_coords()
-        xs = np.stack([kf.host_x for kf in self.keyframes])
-        ys = np.stack([kf.host_y for kf in self.keyframes])
-        local = np.where(has, lmap[np.maximum(ids, 0)], -1)
-        ci, si = np.nonzero(local >= 0)
-        O, L = len(ci), len(active)
-        if O < 16:
-            return False
-        O_cap = 1 << int(np.ceil(np.log2(max(O, 1024))))
-        L_cap = 1 << int(np.ceil(np.log2(max(L, 256))))
-        obs_uv = np.zeros((O_cap, 2), np.float32)
-        obs_uv[:O, 0] = xs[ci, si]
-        obs_uv[:O, 1] = ys[ci, si]
-        obs_cam = np.zeros(O_cap, np.int32)
-        obs_cam[:O] = ci
-        obs_lm = np.zeros(O_cap, np.int32)
-        obs_lm[:O] = local[ci, si]
-        valid = np.zeros(O_cap, bool)
-        valid[:O] = True
-        lms = np.zeros((L_cap, 3), np.float32)
-        lms[:L] = self.track_positions[active]
-        fixed = np.zeros(K, bool)
-        fixed[: min(2, K)] = True  # pin the 7-DoF monocular gauge
-        problem = BAProblem(
-            poses=jnp.stack([kf.pose for kf in self.keyframes]),
-            landmarks=jnp.asarray(lms),
-            intrinsics=jnp.asarray(np.asarray(cfg.intrinsics, np.float32)),
-            obs_uv=jnp.asarray(obs_uv),
-            obs_cam=jnp.asarray(obs_cam),
-            obs_lm=jnp.asarray(obs_lm),
-            obs_valid=jnp.asarray(valid),
-            pose_fixed=jnp.asarray(fixed),
+        """Full-trajectory bundle adjustment (see
+        :func:`.globalba.run_global_ba`)."""
+        return run_global_ba(
+            self, ba_config=ba_config, use_cg=use_cg,
+            max_landmarks=max_landmarks,
         )
-        ba_cfg = ba_config or dataclasses.replace(cfg.ba, max_iterations=12)
-        if use_cg is None:
-            # Dense Schur materialises the (C, L, 6, 3) coupling block.
-            use_cg = K * L_cap * 18 > (1 << 27)
-        # Cache the jitted solver per (solver, config) so the power-of-two
-        # O_cap/L_cap bucketing actually reuses compiles across repeated
-        # finalisation calls (a fresh jax.jit wrapper re-traces every call).
-        jit_key = (bool(use_cg), ba_cfg)
-        solve = self._global_ba_jits.get(jit_key)
-        if solve is None:
-            if use_cg:
-                from ..sfm.ba_cg import bundle_adjust_cg as solver
-            else:
-                solver = bundle_adjust
-            solve = jax.jit(partial(solver, config=ba_cfg))
-            self._global_ba_jits[jit_key] = solve
-        solved, stats = solve(problem)
-        poses_h, lms_h, c0, c1 = jax.device_get(
-            (solved.poses, solved.landmarks, stats.initial_cost, stats.final_cost)
-        )
-        if not (float(c1) <= float(c0)):
-            return False
-        for k, kf in enumerate(self.keyframes):
-            kf.pose = jnp.asarray(poses_h[k])
-        self.track_positions[active] = lms_h[:L]
-        return True
 
     def run_windowed_ba(self, block: bool = False) -> bool:
         """Optimize the last ``ba_window`` keyframes + their tracks.
