@@ -139,6 +139,10 @@ def main():
     wall = time.perf_counter() - t0
 
     pose_err = float(np.abs(np.asarray(solved.poses) - scene.poses).max())
+    try:
+        cores_allowed = len(os.sched_getaffinity(0))
+    except AttributeError:  # pragma: no cover - non-Linux
+        cores_allowed = os.cpu_count()
     result = {
                 "solver": args.solver,
                 "cams": C,
@@ -146,6 +150,12 @@ def main():
                 "observations": int(O),
                 "mesh_devices": n_dev,
                 "backend": jax.default_backend(),
+                # Conditions self-description (VERDICT r4 #5: r03's 1.62 M
+                # obs/s was a TPU-backend run, r04's 0.298/0.798 M were
+                # CPU-mesh runs on a 4-core host — obs/s is only
+                # comparable within one backend+affinity row).
+                "host_cores_allowed": int(cores_allowed),
+                "host_cores_total": int(os.cpu_count() or 0),
                 "lm_iterations": args.iterations,
                 "wall_s": round(wall, 3),
                 "iterations_per_s": round(args.iterations / wall, 2),

@@ -147,6 +147,13 @@ def main(max_devices: int | None = None):
             "pinning": "taskset min(n_devices, host_cores) cores per point;"
                        " one core per virtual device up to the host's"
                        f" {cores} cores, 2:1 time-shared beyond",
+            "distributed_ba_note": (
+                "dense Schur solver is small-mesh-only by design (each "
+                "shard materialises the O(C*L_local) coupling block; the "
+                "psum carries the dense (6C)^2 camera system) — measured "
+                "through 4 devices; distributed_ba_cg is the at-scale "
+                "solver"
+            ),
         }
         phases: dict = {}
         for name, times in raw.items():
@@ -175,6 +182,13 @@ def main(max_devices: int | None = None):
     for name in POINT_NAMES:
         for n in sizes:
             if name.startswith("ring") and 16 % n:
+                continue
+            if name == "distributed_ba" and n > 4:
+                # The dense Schur solver is small-mesh-only BY DESIGN
+                # (each shard materialises the O(C*L_local) coupling
+                # block and the psum carries the dense (6C)^2 camera
+                # system — VERDICT r4 #6); distributed_ba_cg is the
+                # at-scale solver and is measured through the full range.
                 continue
             cpus = "0-%d" % (min(n, cores) - 1) if min(n, cores) > 1 else "0"
             env = dict(os.environ)

@@ -8,6 +8,7 @@ parsing/writing for ATE evaluation."""
 from . import euroc, native_loader, tum
 from .synthetic import (
     SyntheticScene,
+    apply_photometric,
     make_observation_table,
     make_scene,
     render_frames,
@@ -15,6 +16,7 @@ from .synthetic import (
 
 __all__ = [
     "SyntheticScene",
+    "apply_photometric",
     "euroc",
     "native_loader",
     "tum",

@@ -264,3 +264,73 @@ def render_frames(
                 -(px * px + py * py) / (2.0 * sig * sig)
             )
     return frames
+
+
+def _cloud_texture(h: int, w: int, rng, beta: float = 2.2) -> np.ndarray:
+    """Unit-variance 1/f^beta ("cloud") texture via spectral shaping —
+    the standard procedural stand-in for natural-image texture (natural
+    images have ~1/f^2 power spectra)."""
+    fy = np.fft.fftfreq(h)[:, None]
+    fx = np.fft.rfftfreq(w)[None, :]
+    f2 = fx * fx + fy * fy
+    spec = (
+        rng.normal(size=(h, w // 2 + 1)) + 1j * rng.normal(size=(h, w // 2 + 1))
+    ) / np.maximum(f2, 1e-6) ** (beta / 2.0)
+    spec[0, 0] = 0.0
+    tex = np.fft.irfft2(spec, s=(h, w)).astype(np.float32)
+    return tex / max(float(tex.std()), 1e-9)
+
+
+def apply_photometric(
+    frames: np.ndarray,
+    seed: int = 0,
+    texture_amp: float = 6.0,
+    vignette: float = 0.25,
+    rolling_shutter_px: float = 3.0,
+    shot_noise: float = 0.06,
+    read_noise: float = 2.0,
+) -> np.ndarray:
+    """Sensor-realism post-pass over rendered (C, H, W) frames
+    (VERDICT r4 #8 — harder photometric realism within zero-egress
+    limits).  Models, in camera order:
+
+    * **fixed-pattern texture**: a static 1/f^2 cloud layer (lens dirt /
+      sensor FPN / wall texture at infinity).  Static features are
+      geometrically inconsistent with egomotion, so the pipeline must
+      reject them via RANSAC rather than track them;
+    * **rolling shutter**: per-row horizontal shear, magnitude
+      ``rolling_shutter_px`` at the frame edges, direction varying
+      smoothly over the clip (readout-time skew under panning);
+    * **vignette**: radial gain falloff, ``1 - vignette`` at the corners;
+    * **shot + read noise**: signal-proportional Gaussian shot noise and
+      constant read noise per pixel per frame.
+
+    Returns new float32 frames (input is not modified)."""
+    frames = np.asarray(frames, np.float32)
+    C, h, w = frames.shape
+    rng = np.random.default_rng(seed + 77)
+    out = frames.copy()
+
+    tex = _cloud_texture(h, w, rng)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    r2 = ((xx - w / 2.0) / (w / 2.0)) ** 2 + ((yy - h / 2.0) / (h / 2.0)) ** 2
+    gain = 1.0 - vignette * 0.5 * r2  # r2 = 2 at the corners
+    row_phase = (np.arange(h, dtype=np.float32) / h) - 0.5
+    ph = np.linspace(0.0, 2.0 * np.pi, C)
+    cols = np.arange(w)
+    for c in range(C):
+        img = out[c] + texture_amp * tex
+        # Rolling shutter: subpixel per-row shift via linear interpolation.
+        shift = rolling_shutter_px * np.sin(ph[c] * 3.0 + 0.5) * row_phase
+        i0 = np.floor(shift).astype(np.int64)[:, None]
+        frac = (shift - np.floor(shift)).astype(np.float32)[:, None]
+        idx0 = np.clip(cols[None, :] - i0, 0, w - 1)
+        idx1 = np.clip(idx0 - 1, 0, w - 1)
+        rows = np.arange(h)[:, None]
+        img = (1.0 - frac) * img[rows, idx0] + frac * img[rows, idx1]
+        img = img * gain
+        img = img + rng.normal(0.0, 1.0, (h, w)).astype(np.float32) * np.sqrt(
+            read_noise**2 + (shot_noise**2) * np.maximum(img, 0.0)
+        )
+        out[c] = img
+    return out

@@ -90,3 +90,69 @@ def test_tum_sequence_roundtrip_through_slam(tmp_path):
     assert len(ia) == len(slam.keyframes)
     # Trajectory is non-degenerate (camera actually moved).
     assert np.linalg.norm(traj[-1] - traj[0]) > 1e-3
+
+
+@pytest.mark.slow
+def test_tum_eval_script_on_rendered_directory(tmp_path):
+    """benchmarks/tum_eval.py itself runs in CI against a rendered
+    TUM-layout directory (VERDICT r4 #8): the exact code path a real TUM
+    download would take — load_sequence, native decode, per-frame SLAM,
+    ATE association — exercised end-to-end without egress."""
+    import sys as _sys
+
+    bench_dir = os.path.join(os.path.dirname(__file__), "..", "benchmarks")
+    _sys.path.insert(0, os.path.abspath(bench_dir))
+    try:
+        from ate_artifact import write_golden_clip
+        from tum_eval import evaluate
+    finally:
+        _sys.path.pop(0)
+
+    root = str(tmp_path / "seq")
+    write_golden_clip(root, 20, seed=0, closed=False)
+    res = evaluate(
+        root,
+        max_frames=20,
+        stride=1,
+        intrinsics=(525.0, 525.0, 320.0, 240.0),
+        close_loops=False,
+        ransac_iterations=512,
+        min_inliers=12,
+        verbose=False,
+    )
+    assert res["frames"] == 20
+    assert res["keyframes"] >= 16, res
+    assert res.get("associated_poses", 0) == res["keyframes"]
+    assert np.isfinite(res["ate_rmse_sim3"]), res
+    assert res["fps"] > 0
+
+
+@pytest.mark.slow
+def test_photometric_hard_rendering_still_tracks(tmp_path):
+    """The sensor-realism pass (fixed-pattern texture, rolling shutter,
+    vignette, shot/read noise) must not break tracking: the photometric
+    variant of the rendered clip registers nearly all frames."""
+    import sys as _sys
+
+    bench_dir = os.path.join(os.path.dirname(__file__), "..", "benchmarks")
+    _sys.path.insert(0, os.path.abspath(bench_dir))
+    try:
+        from ate_artifact import write_golden_clip
+        from tum_eval import evaluate
+    finally:
+        _sys.path.pop(0)
+
+    root = str(tmp_path / "seq_photo")
+    write_golden_clip(root, 20, seed=0, closed=False, photometric={})
+    res = evaluate(
+        root,
+        max_frames=20,
+        stride=1,
+        intrinsics=(525.0, 525.0, 320.0, 240.0),
+        close_loops=False,
+        ransac_iterations=512,
+        min_inliers=12,
+        verbose=False,
+    )
+    assert res["keyframes"] >= 16, res
+    assert np.isfinite(res["ate_rmse_sim3"]), res
