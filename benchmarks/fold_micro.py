@@ -113,7 +113,19 @@ def _variant_kernel(a_ref, b_ref, bnorm_ref, min1_ref, idx1_ref, min2_ref,
 
             if fold == "gemm":
                 # Consume the GEMM with a single-column add: no fold passes.
+                # CAVEAT: Mosaic narrows the dot to the consumed column
+                # (measured 135% of roofline at 4k) — NOT a valid floor.
                 m1_s[:, c:c+1] = m1_s[:, c:c+1] + ab[:, :1]
+                continue
+
+            if fold == "rowsum":
+                # DCE-PROOF floor (VERDICT r4 #4): a full-row sum consumes
+                # EVERY column of the dot product, so Mosaic cannot narrow
+                # the GEMM; one VPU reduce pass and nothing else.  This is
+                # the measured "GEMM + entry + 1 pass" floor the full fold
+                # is judged against.
+                m1_s[:, c:c+1] = m1_s[:, c:c+1] + jnp.sum(
+                    ab, axis=-1, keepdims=True)
                 continue
 
             if fold == "min1":
@@ -147,6 +159,38 @@ def _variant_kernel(a_ref, b_ref, bnorm_ref, min1_ref, idx1_ref, min2_ref,
                 m1, m2 = m1_s[:, c:c+1], m2_s[:, c:c+1]
                 better = t1 < m1
                 m1_s[:, c:c+1] = jnp.where(better, t1, m1)
+                m2_s[:, c:c+1] = jnp.where(
+                    better, jnp.minimum(m1, t2), jnp.minimum(m2, t1))
+                continue
+
+            if fold == "top2idx":
+                # Tournament top-2 VALUES (as top2noi) + ONE eq/iota pass
+                # to recover min1's column index — candidate replacement
+                # for the production eq->where->min->where->min chain.
+                d = ab + bnorm
+                w = tn // 2
+                lo = jnp.minimum(d[:, :w], d[:, w:])
+                hi = jnp.maximum(d[:, :w], d[:, w:])
+                while w > 128:
+                    w //= 2
+                    l1, r1 = lo[:, :w], lo[:, w:]
+                    l2, r2 = hi[:, :w], hi[:, w:]
+                    lo2 = jnp.minimum(l1, r1)
+                    hi = jnp.minimum(jnp.maximum(l1, r1),
+                                     jnp.minimum(l2, r2))
+                    lo = lo2
+                t1 = jnp.min(lo, axis=-1, keepdims=True)
+                lo_ex = jnp.where(lo == t1, _BIG, lo)
+                t2 = jnp.minimum(jnp.min(lo_ex, axis=-1, keepdims=True),
+                                 jnp.min(hi, axis=-1, keepdims=True))
+                cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+                ti1 = jnp.min(
+                    jnp.where(d == t1, cols, jnp.int32(2**30)),
+                    axis=-1, keepdims=True) + j * tn
+                m1, i1, m2 = m1_s[:, c:c+1], i1_s[:, c:c+1], m2_s[:, c:c+1]
+                better = t1 < m1
+                m1_s[:, c:c+1] = jnp.where(better, t1, m1)
+                i1_s[:, c:c+1] = jnp.where(better, ti1, i1)
                 m2_s[:, c:c+1] = jnp.where(
                     better, jnp.minimum(m1, t2), jnp.minimum(m2, t1))
                 continue

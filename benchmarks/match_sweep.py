@@ -135,6 +135,52 @@ def bench_single(k: int, d: int, bf16: bool, seed: int = 0,
     return _row(k, d, bf16, t, mode="single")
 
 
+def bench_batched_prepared(k: int, d: int, nb: int, bf16: bool,
+                           seed: int = 0):
+    """Steady-state per-pair time for a BATCH of prepared pairs — the
+    production K^2-sweep regime (prepare once per keyframe, match every
+    pair; ``parallel/matching.py`` batches pairs exactly like this).
+
+    ``bench_batched`` measures the unprepared entry path: its per-rep
+    cast/norm/perturb passes over the full (nb, K, D) batch are real
+    work, but work the sweep pays once per KEYFRAME, not once per PAIR —
+    at 1k it was ~25% of the measured time (VERDICT r4 #4's 38.2% row).
+    This row isolates what the sweep actually pays per pair."""
+    rng = np.random.default_rng(seed)
+    pas = [prepare_descriptors(
+        jnp.asarray(rng.random((k, d), np.float32)), bf16=bf16)
+        for _ in range(nb)]
+    pbs = [prepare_descriptors(
+        jnp.asarray(rng.random((k, d), np.float32)), bf16=bf16)
+        for _ in range(nb)]
+    pa = jax.tree.map(lambda *x: jnp.stack(x), *pas)
+    pb = jax.tree.map(lambda *x: jnp.stack(x), *pbs)
+    vf = jax.vmap(
+        lambda a2, am, an, b2, bm, bn: fused_match_topk_prepared(
+            (a2, am, an), (b2, bm, bn)
+        )
+    )
+
+    def run_maker(reps):
+        @jax.jit
+        def run(bn0):
+            def body(c, _):
+                m1, i1, m2 = vf(pa[0], pa[1], pa[2],
+                                pb[0], pb[1], bn0 + c * 1e-20)
+                return m1, m1[0, 0]
+            _, outs = jax.lax.scan(body, jnp.zeros((nb, k), jnp.float32),
+                                   None, length=reps)
+            return outs
+        return run
+
+    def fresh():
+        return jax.block_until_ready(
+            pb[2] + jnp.asarray(rng.random((nb, 1), np.float32) * 1e-9))
+
+    t = _slope(run_maker, fresh, lambda o: o, 2.0 * nb * k * k * d)
+    return _row(k, d, bf16, t / nb, mode=f"batched{nb}_prepared")
+
+
 def bench_batched(k: int, d: int, nb: int, bf16: bool, seed: int = 0):
     rng = np.random.default_rng(seed)
     bs = jnp.asarray(rng.random((nb, k, d), np.float32))
@@ -204,15 +250,18 @@ def main():
             "hbm_bw": HBM_BW,
             "method": "3-point slope over in-program rep counts; distinct "
                       "buffers per dispatch; fetch-forced",
-            "note": "pct_roofline counts GEMM FLOPs only.  FOLD_MICRO.json "
-                    "decomposes the small-K gap: at 1k-batched the "
-                    "GEMM-only kernel (no fold) already costs 2.26us/pair "
-                    "= 60% of roofline (DMA + kernel entry), a single "
-                    "min-reduce fold pass adds 1.75us, and the full top-2 "
-                    "fold ~3.3us; a software-pipelined variant shows the "
-                    "VPU fold does NOT dual-issue with the MXU stream, so "
-                    "the fold cost is additive at small K and overlaps "
-                    "only via deeper grids at large K (67-72%).",
+            "note": "pct_roofline counts GEMM FLOPs only.  batchedN rows "
+                    "run the UNPREPARED entry path (per-rep cast/norm over "
+                    "the whole batch — paid once per KEYFRAME in the real "
+                    "sweep); batchedN_prepared rows measure the production "
+                    "K^2-sweep regime (prepare once, match every pair).  "
+                    "FOLD_MICRO*.json decomposes the remaining gap against "
+                    "a DCE-proof 'rowsum' floor (full-row consume, VERDICT "
+                    "r4 #4): the top-2+index fold is the residual cost; 8 "
+                    "fold variants measured (argmin lowering, tournament, "
+                    "packed-slot, bf16, software-pipelined) all lose to "
+                    "the production eq/iota fold — the VPU fold does NOT "
+                    "dual-issue with the MXU stream on this chip.",
             "partial_wall_s": round(time.time() - t_start, 1),
             "rows": rows,
         }
@@ -230,6 +279,10 @@ def main():
         if k <= 4096:  # real small-K workloads are batched (ring sweep)
             nb = max(2, 16384 // k)
             row = bench_batched(k, args.d, nb, True)
+            rows.append(row)
+            print(json.dumps(row))
+            flush(rows)
+            row = bench_batched_prepared(k, args.d, nb, True)
             rows.append(row)
             print(json.dumps(row))
             flush(rows)
