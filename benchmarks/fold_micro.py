@@ -341,8 +341,11 @@ def bench_variant(k, d, fold, nb, tm, tn, mc, seed=0):
         return jax.block_until_ready(
             jnp.asarray(rng.random((nb, k, d), np.float32)))
 
+    # calls=5 / deeper reps: at nb=1 the 3-call/512-rep setting let
+    # per-call tunnel jitter dominate the fit (a 4k rowsum row once
+    # measured a NEGATIVE slope).
     t = _slope(run_maker, fresh, lambda o: o, 2.0 * nb * k * k * d,
-               calls=3, max_delta=512)
+               calls=5, max_delta=2048)
     return t / nb
 
 
