@@ -412,6 +412,20 @@ class LoopCloser:
             li, lj, ls, lT, lw, cons, ninls = self.build_loop_edges(
                 cands, ver, poses_h
             )
+            cap = getattr(sys_.config, "loop_max_edges", 0)
+            if cap and len(li) > cap:
+                # Inlier-weighted top-E downselect (VERDICT r4 #3): keep
+                # only the best-verified edges — beyond this, additional
+                # near-duplicate edges add solver cost and gate risk
+                # without adding information.
+                order = sorted(
+                    np.argsort(-np.asarray(ninls), kind="stable")[:cap]
+                )
+                pick = lambda xs: [xs[o] for o in order]
+                li, lj, ls, lT, lw, cons, ninls = (
+                    pick(li), pick(lj), pick(ls), pick(lT),
+                    pick(lw), pick(cons), pick(ninls),
+                )
             edges_i += li; edges_j += lj; edges_s += ls
             edges_T += lT; weights += lw
             edge_consistency = cons

@@ -90,6 +90,11 @@ class SlamConfig:
     # otherwise flood the graph with near-duplicate edges the post-solve
     # gate then has to reject wholesale.  0 disables.
     loop_candidate_nms: int = 2
+    # Inlier-weighted top-E edge cap AFTER verification (VERDICT r4 #3):
+    # keep only the loop_max_edges best-verified edges in the Sim(3)
+    # graph.  More near-duplicate edges add solver cost and gate risk
+    # without adding information.  0 disables.
+    loop_max_edges: int = 32
     # Landmark anchoring (VERDICT r3 #5): re-observed tracks keep their
     # stored (BA-refined) positions instead of re-triangulating every
     # frame.  Anchoring stops the multiplicative re-chaining of the
