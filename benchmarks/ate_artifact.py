@@ -47,7 +47,8 @@ sys.path.insert(0, REPO)
 def write_golden_clip(root: str, n_frames: int, seed: int = 0,
                       closed: bool = True, exposure_drift: float = 0.0,
                       blur_gaps=(), noise_gaps=(), turns: int = 1,
-                      photometric: dict | None = None):
+                      photometric: dict | None = None,
+                      background: str = "flat"):
     """Render the deterministic golden clip into a TUM-layout directory."""
     import jax.numpy as jnp
 
@@ -71,7 +72,7 @@ def write_golden_clip(root: str, n_frames: int, seed: int = 0,
         arc=arc,
         helix=0.0 if closed else 0.05,
     )
-    frames = render_frames(scene, seed=seed)
+    frames = render_frames(scene, seed=seed, background=background)
     if photometric is not None:
         # Sensor-realism pass (VERDICT r4 #8): fixed-pattern 1/f texture,
         # rolling-shutter shear, vignette, shot+read noise.
@@ -179,7 +180,8 @@ def run_variant(name: str, n_frames: int, chunk: int, seed: int,
                 workdir: str | None, exposure_drift: float = 0.0,
                 blur_gaps=(), noise_gaps=(), turns: int = 1,
                 reloc_window: int = 6,
-                photometric: dict | None = None) -> dict:
+                photometric: dict | None = None,
+                background: str = "flat") -> dict:
     import jax
 
     from niftymatch_tpu.config import RansacConfig
@@ -196,6 +198,7 @@ def run_variant(name: str, n_frames: int, chunk: int, seed: int,
         root, n_frames, seed,
         closed=True, exposure_drift=exposure_drift, blur_gaps=blur_gaps,
         noise_gaps=noise_gaps, turns=turns, photometric=photometric,
+        background=background,
     )
     seq = load_sequence(root)
     n = len(seq.rgb_paths)
@@ -228,6 +231,11 @@ def run_variant(name: str, n_frames: int, chunk: int, seed: int,
             loop_min_matches=40,
             loop_min_gap=max(3, n_frames // 4),
             reloc_window=reloc_window,
+            # Pre-size the feature store to the clip: mid-run capacity
+            # doubling re-traces the grow/scatter/gather programs INSIDE
+            # the timed segment (store.py docstring; measured on the
+            # reloc variant, whose 174 keyframes otherwise grow 64->256).
+            store_capacity=1 << int(np.ceil(np.log2(max(64, n)))),
         )
     )
     # First two chunks compile the fused chunk program (minutes on a cold
@@ -386,12 +394,13 @@ def main():
     }
     print(json.dumps(result["standard"]))
     if not args.skip_hard:
-        # Photometric-hard: the standard clip + sensor-realism pass
-        # (fixed-pattern texture, rolling shutter, vignette, shot/read
-        # noise) — done bar: ATE%% within 1.5x of the clean variant.
+        # Photometric-hard: the standard clip + view-consistent distant
+        # scene texture (environment-map backdrop) + sensor-realism pass
+        # (FPN, rolling shutter, vignette, shot/read noise) — done bar:
+        # ATE%% within 1.5x of the clean variant.
         result["photo"] = run_variant(
             "photo", args.frames, args.chunk, args.seed, None,
-            photometric={},
+            photometric={}, background="sky",
         )
         print(json.dumps(result["photo"]))
     if not args.skip_hard:
