@@ -154,13 +154,22 @@ class Relocalizer:
         )
 
         # Post-reloc tail re-chunking dispatches the FEATURES-path chunk
-        # program (the frames-path warmup never compiles it).
+        # program (the frames-path warmup never compiles it), plus the
+        # index-traced take/gather helpers the miss path uses.
         chunk_b = sys_._store.gather([kf0.slot] * cfg.chunk_size)
         jax.block_until_ready(
             sys_._chunk_features(
                 chunk_b, feats, kf0.pose,
                 jnp.asarray(world0), jnp.asarray(has0),
             )[0].num_inliers
+        )
+        jax.block_until_ready(
+            sys_._take_row(chunk_b, jnp.int32(0)).x
+        )
+        jax.block_until_ready(
+            sys_._gather_rows(
+                chunk_b, jnp.zeros((cfg.chunk_size,), jnp.int32)
+            ).x
         )
 
     def maybe_relocalize(self, feats: Features) -> dict | None:

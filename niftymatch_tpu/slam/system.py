@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from ..config import BAConfig, RansacConfig, SiftConfig
 from ..features import Features
 from ..sfm.ba import BAProblem, bundle_adjust
-from ..sfm.se3 import camera_center, se3_identity
+from ..sfm.se3 import se3_identity
 from ..sift import make_detector
 from ..ops.match import MatchResult
 from .closure import LoopCloser
@@ -239,6 +239,18 @@ class SlamSystem:
                 jax.tree.map(lambda a: a[i], fb), poses[i]
             )
         )
+        # Index-TRACED row take / gather over a chunk batch.  An eager
+        # ``tree.map(lambda a: a[i], fb)`` with a Python int bakes the
+        # index into the program — a NEW remote compile (~0.4 s through
+        # the tunnel) per distinct gap position; the reloc-load clip
+        # spent 9.5 s of its timed segment compiling those one-index
+        # slicers (measured by cProfile: 36 in-run from_hlo compiles).
+        self._take_row = jax.jit(
+            lambda fb, i: jax.tree.map(lambda a: a[i], fb)
+        )
+        self._gather_rows = jax.jit(
+            lambda fb, idx: jax.tree.map(lambda a: a[idx], fb)
+        )
         self._store = FeatureStore(
             init_capacity=config.store_capacity,
             chunk_pad=config.chunk_size,
@@ -422,7 +434,7 @@ class SlamSystem:
                 self.reloc.note_miss()
                 if self.reloc.due():
                     commit_rows()
-                    feats_i = jax.tree.map(lambda a: a[i], feats_b)
+                    feats_i = self._take_row(feats_b, jnp.int32(i))
                     info = self.reloc.maybe_relocalize(feats_i)
                     if info is not None:
                         results.append(info)
@@ -437,14 +449,16 @@ class SlamSystem:
                         # program is reused, with n_real masking the pads.
                         rest = n_real - (i + 1)
                         if rest > 0:
+                            # Index-traced gather (pads repeat the last
+                            # real row): ONE compiled program for every
+                            # gap position, vs a per-(i, rest) eager
+                            # concatenate program (see _gather_rows).
                             bucket = int(feats_b.x.shape[0])
-                            tail = jax.tree.map(
-                                lambda a: jnp.concatenate(
-                                    [a[i + 1:n_real]]
-                                    + [a[n_real - 1:n_real]]
-                                    * (bucket - rest)
-                                ),
-                                feats_b,
+                            idx = np.minimum(
+                                np.arange(bucket) + (i + 1), n_real - 1
+                            ).astype(np.int32)
+                            tail = self._gather_rows(
+                                feats_b, jnp.asarray(idx)
                             )
                             results.extend(
                                 self.process_features_batch(
@@ -572,14 +586,23 @@ class SlamSystem:
         return {"keyframe": True, "num_inliers": num_inl, "tracked": tracked}
 
     def trajectory(self) -> np.ndarray:
-        """(K, 3) camera centers of all keyframes."""
-        self.flush_ba()
-        poses = jnp.stack([kf.pose for kf in self.keyframes])
-        return np.asarray(camera_center(poses))
+        """(K, 3) camera centers of all keyframes.
+
+        Host math on one batched fetch: a device ``jnp.stack`` +
+        ``camera_center`` here compiles a fresh program for every
+        keyframe COUNT — ~3.9 s of in-run remote compile measured on
+        the reloc-load clip when this ran at the end of a timed
+        segment."""
+        poses = self.poses()
+        R, t = poses[:, :, :3], poses[:, :, 3]
+        return -np.einsum("kji,kj->ki", R, t)
 
     def poses(self) -> np.ndarray:
         self.flush_ba()
-        return np.asarray(jnp.stack([kf.pose for kf in self.keyframes]))
+        return np.stack([
+            np.asarray(p) for p in
+            jax.device_get([kf.pose for kf in self.keyframes])
+        ])
 
     # ------------------------------------------------------------------
     # Relocalization (slam/reloc.py) — thin delegation for API stability
