@@ -105,7 +105,12 @@ def _run_point(name: str, n: int) -> float:
         cfg = BAConfig(max_iterations=5)
         solver = distributed_bundle_adjust
     else:
-        scene = make_scene(num_cams=32, num_landmarks=4096, seed=1)
+        # 16k landmarks: the CG solver is the AT-SCALE path, so measure
+        # it at a problem where per-device compute dominates the O(6C)
+        # psum per CG iteration — at 4k the 8-virtual-device point was
+        # limited by per-step collective overhead under 2:1 core
+        # time-sharing, not by the solver.
+        scene = make_scene(num_cams=32, num_landmarks=16384, seed=1)
         fixed = np.zeros(32, bool)
         cfg = BAConfig(max_iterations=4, cg_iterations=16)
         solver = distributed_bundle_adjust_cg
@@ -138,7 +143,9 @@ def main(max_devices: int | None = None):
     cores = os.cpu_count() or 1
     n_max = max_devices or 8
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_max]
-    raw: dict = {name: {} for name in POINT_NAMES}
+    only = os.environ.get("SCALING_POINTS")  # comma-separated name filter
+    names = [n for n in POINT_NAMES if not only or n in only.split(",")]
+    raw: dict = {name: {} for name in names}
     out = os.environ.get("SCALING_OUT")
 
     def _report():
@@ -172,6 +179,12 @@ def main(max_devices: int | None = None):
                     "efficiency": round(base / t / (n / min(times)), 3),
                     "efficiency_vs_achievable": round(
                         base / t / (min(n, cores) / min(times)), 3),
+                    # n > cores rows run 2+ virtual devices per physical
+                    # core: wall-clock CANNOT beat the n == cores point
+                    # (same compute resources + time-sharing overhead),
+                    # so they are collective-correctness / overhead
+                    # checkpoints, not speedup points.
+                    **({"oversubscribed": True} if n > cores else {}),
                 }
                 for n, t in sorted(times.items())
             }
@@ -179,7 +192,7 @@ def main(max_devices: int | None = None):
             report["ring_match_phases"] = phases
         return report
 
-    for name in POINT_NAMES:
+    for name in names:
         for n in sizes:
             if name.startswith("ring") and 16 % n:
                 continue
