@@ -115,3 +115,20 @@ def mutual_matches(fwd: MatchResult, bwd: MatchResult) -> jnp.ndarray:
     a_idx = jnp.arange(fwd.indices.shape[0], dtype=jnp.int32)
     back = jnp.where(fwd.indices >= 0, bwd.indices[fwd.indices], -2)
     return jnp.where(back == a_idx, fwd.indices, -1)
+
+
+def mutual_ratio_match(
+    desc_a: jnp.ndarray,
+    valid_a: jnp.ndarray,
+    desc_b: jnp.ndarray,
+    valid_b: jnp.ndarray,
+    ambiguity: float = 0.8,
+) -> jnp.ndarray:
+    """Mutual (cross-checked) Lowe-ratio match indices for one pair:
+    distance GEMM -> forward/backward ratio tests -> cross-check.
+    Shared by the loop-closure candidate matcher and the relocalization
+    scorer (both vmap it over batches)."""
+    dm = pairwise_sq_distances(desc_a, desc_b)
+    fwd = ratio_test_matches(dm, ambiguity, valid_a, valid_b)
+    bwd = ratio_test_matches(dm.T, ambiguity, valid_b, valid_a)
+    return mutual_matches(fwd, bwd)

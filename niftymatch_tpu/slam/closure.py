@@ -86,17 +86,13 @@ class LoopCloser:
         )
 
         def _cand_match(fa, fb):
-            from ..ops.match import (
-                mutual_matches, pairwise_sq_distances, ratio_test_matches,
-            )
+            from ..ops.match import mutual_ratio_match
 
-            def one(da, va, db, vb):
-                dm = pairwise_sq_distances(da, db)
-                fwd = ratio_test_matches(dm, 0.7, va, vb)
-                bwd = ratio_test_matches(dm.T, 0.7, vb, va)
-                return mutual_matches(fwd, bwd)
-
-            return jax.vmap(one)(fa.desc, fa.valid, fb.desc, fb.valid)
+            return jax.vmap(
+                lambda da, va, db, vb: mutual_ratio_match(
+                    da, va, db, vb, ambiguity=0.7
+                )
+            )(fa.desc, fa.valid, fb.desc, fb.valid)
 
         self._cand_match = aot_jit(
             _cand_match, "cand-match", salt=repr(cfg)
@@ -431,6 +427,14 @@ class LoopCloser:
             edge_consistency = cons
             edge_ninls = ninls
             accepted = len(li)
+        # Diagnostic seam for finalize's rollback: candidate detection
+        # and 2-view verification are map-INDEPENDENT (pure descriptor /
+        # image geometry), but edge BUILDING reads the map (scale
+        # estimation) — a round that can no longer build edges from the
+        # same candidates is evidence the previous round corrupted the
+        # map even though no graph cost exists to compare.
+        _stages["loop_candidates"] = len(cands)
+        _stages["loop_edges_built"] = accepted
         _mark("verify_s")
         if accepted == 0:
             return 0
@@ -719,15 +723,11 @@ class LoopCloser:
     # ------------------------------------------------------------------
     def snapshot_map(self) -> dict:
         """Copy everything a finalize round can mutate: keyframe poses,
-        landmark positions, liveness.  ONE batched pose fetch."""
+        landmark positions, liveness.  ONE batched pose fetch
+        (``poses()`` flushes BA and fetches once)."""
         sys_ = self._sys
-        sys_.flush_ba()
-        poses = np.stack([
-            np.asarray(p) for p in
-            jax.device_get([kf.pose for kf in sys_.keyframes])
-        ])
         return {
-            "poses": poses,
+            "poses": sys_.poses(),
             "track_positions": sys_.track_positions.copy(),
             "track_alive": sys_.track_alive.copy(),
             "num_kf": len(sys_.keyframes),
@@ -767,17 +767,33 @@ class LoopCloser:
         sys_ = self._sys
         stats: list = []
         prev_c0 = None
+        prev_built = None
         prev_snap = None  # map state at entry of the PREVIOUS round
         for _ in range(rounds):
             snap = self.snapshot_map()
             edges = self.close_loops()
             c0 = float(self.last_stages.get("pg_cost", [np.inf])[0])
-            if (
+            built = int(self.last_stages.get("loop_edges_built", 0))
+            cost_rose = (
                 prev_c0 is not None
                 and np.isfinite(c0)
                 and np.isfinite(prev_c0)
                 and c0 > 1.02 * prev_c0
-            ):
+            )
+            # Build collapse: candidates and 2-view verification are
+            # map-independent, so if the previous round built edges and
+            # this one can no longer build ANY (scale estimation reads
+            # the map), the map degraded in a way that produces no
+            # graph cost to compare — without this clause the c0 = inf
+            # path would silently skip the rollback (round-5 review).
+            build_collapsed = (
+                prev_snap is not None
+                and prev_built is not None
+                and prev_built > 0
+                and built == 0
+                and int(self.last_stages.get("loop_candidates", 0)) > 0
+            )
+            if cost_rose or build_collapsed:
                 # The previous round made the re-detected graph LESS
                 # consistent: roll back to its entry state (discarding
                 # this round's just-applied closure too) and stop.
@@ -787,6 +803,9 @@ class LoopCloser:
                     "global_ba": False,
                     "graph_cost0": round(c0, 3),
                     "rolled_back": True,
+                    "rollback_reason": (
+                        "cost_rose" if cost_rose else "build_collapsed"
+                    ),
                 })
                 break
             applied = sys_.global_ba()
@@ -814,5 +833,6 @@ class LoopCloser:
             if prev_c0 is not None and not (c0 < 0.9 * prev_c0):
                 break
             prev_c0 = c0
+            prev_built = built
             prev_snap = snap
         return {"rounds": stats}

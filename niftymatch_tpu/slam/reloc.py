@@ -49,19 +49,13 @@ class Relocalizer:
             # Mutual ratio-test match count per candidate keyframe: the
             # necessary condition for slam_step success (inliers are a
             # subset of matches), at GEMM cost only.
-            from ..ops.match import (
-                mutual_matches, pairwise_sq_distances, ratio_test_matches,
-            )
-
-            def one(da, va, db, vb):
-                dm = pairwise_sq_distances(da, db)
-                fwd = ratio_test_matches(dm, 0.8, va, vb)
-                bwd = ratio_test_matches(dm.T, 0.8, vb, va)
-                m = mutual_matches(fwd, bwd)
-                return jnp.sum((m >= 0).astype(jnp.int32))
+            from ..ops.match import mutual_ratio_match
 
             return jax.vmap(
-                lambda kf: one(kf.desc, kf.valid, feats.desc, feats.valid)
+                lambda kf: jnp.sum((mutual_ratio_match(
+                    kf.desc, kf.valid, feats.desc, feats.valid,
+                    ambiguity=0.8,
+                ) >= 0).astype(jnp.int32))
             )(kf_feats_b)
 
         def _verify(kf_feats_b, feats, poses_b, world_b, has_b):

@@ -215,32 +215,45 @@ def _restricted_loads(data: bytes):
 
     The payload is ``{"blob": bytes, "out_treedef": PyTreeDef}``; the
     treedef may reference NamedTuple/pytree classes from this package.
-    Everything else (os.system, subprocess, ...) is refused, so a
-    tampered cache entry raises instead of executing (ADVICE r4)."""
+    ALLOWLIST discipline (a denylist is bypassable — e.g. the
+    ``numpy.testing`` ``runstring`` gadget slips any name-based
+    denylist): only the exact treedef-serialization modules resolve, a
+    tiny closed set of builtin container types, and — for this
+    package's registered pytree nodes — tuple SUBCLASSES only (a
+    resolved function or non-NamedTuple class is refused even from our
+    own modules).  A tampered cache entry raises instead of executing
+    (ADVICE r4 + round-5 review)."""
     import io
     import pickle
 
-    _ALLOWED_PREFIXES = (
-        "jax.",
-        "jaxlib.",
-        "builtins",
+    _EXACT_MODULES = frozenset({
+        "jax._src.tree_util",
+        "jax.tree_util",
+        # PyTreeDef's own reconstructor (module name varies by jaxlib
+        # version).
+        "jaxlib._jax.pytree",
+        "jaxlib.xla_extension.pytree",
         "collections",
-        "numpy",
-        "niftymatch_tpu.",
-    )
+    })
+    _BUILTIN_NAMES = frozenset({
+        "tuple", "list", "dict", "set", "frozenset", "bytearray",
+        "complex", "int", "float", "bool", "str", "bytes",
+    })
 
     class _Unpickler(pickle.Unpickler):
         def find_class(self, module, name):
-            full = module + "."
-            if module in ("builtins", "collections", "numpy") or any(
-                full.startswith(p) for p in _ALLOWED_PREFIXES
-            ):
-                # Even within allowed modules, refuse obvious exec sinks.
-                if name in ("eval", "exec", "compile", "open", "__import__"):
-                    raise pickle.UnpicklingError(
-                        f"refusing {module}.{name} from AOT cache"
-                    )
+            if module in _EXACT_MODULES:
                 return super().find_class(module, name)
+            if module == "builtins" and name in _BUILTIN_NAMES:
+                return super().find_class(module, name)
+            if module == "niftymatch_tpu" or module.startswith(
+                "niftymatch_tpu."
+            ):
+                obj = super().find_class(module, name)
+                # Registered pytree nodes are NamedTuples: types only,
+                # and tuple subclasses only — never functions.
+                if isinstance(obj, type) and issubclass(obj, tuple):
+                    return obj
             raise pickle.UnpicklingError(
                 f"refusing {module}.{name} from AOT cache"
             )
