@@ -128,6 +128,10 @@ class LoopCloser:
         # Jitted Sim(3) pose-graph solvers per (node, edge, solver) bucket.
         self._pgo_jits: dict = {}
         self.last_stages: dict = {}
+        # Loop edges of the most recent APPLIED closure: independent
+        # geometric measurements later optimizations must stay
+        # consistent with (see loop_edge_consistency).
+        self.last_loop_edges: tuple | None = None
 
     # ------------------------------------------------------------------
     # Stage 1: candidate sweep
@@ -469,11 +473,21 @@ class LoopCloser:
             )
             if ok:
                 applied_edges = len(sel)
+                applied_sel = sel
                 break
         _mark("posegraph_s")
         if not applied_edges:
             return 0
         self.apply_sim3_correction(np.asarray(scale_o), np.asarray(poses_o))
+        # Keep the applied loop edges: independent Sim(3) measurements
+        # that subsequent optimizations (global BA) are guarded against
+        # degrading (loop_edge_consistency).
+        self.last_loop_edges = (
+            [edges_i[e] for e in applied_sel],
+            [edges_j[e] for e in applied_sel],
+            [edges_s[e] for e in applied_sel],
+            [np.asarray(edges_T[e]) for e in applied_sel],
+        )
         _mark("apply_s")
         return applied_edges
 
@@ -717,6 +731,32 @@ class LoopCloser:
         corr[:, :, 3] /= scale[:, None]
         for k, kf in enumerate(sys_.keyframes):
             kf.pose = jnp.asarray(corr[k])
+
+    def loop_edge_consistency(self, poses: np.ndarray) -> float | None:
+        """Mean per-edge inconsistency of the last APPLIED loop edges
+        against ``poses`` (host math): normalised relative-translation
+        gap + squared log relative scale — the same measure that drives
+        the solver's iteration budget.  None when no applied closure
+        exists.  Loop edges are measurements INDEPENDENT of the map, so
+        an optimization that lowers reprojection cost while blowing this
+        up (measured: global BA on the reloc clip, 0.13 -> 1.01 while
+        its robust cost gate passed) is fitting noise at the expense of
+        global structure."""
+        if self.last_loop_edges is None:
+            return None
+        ei, ej, es, eT = self.last_loop_edges
+        if not ei:
+            return None
+        tot = 0.0
+        for i, j, s, T in zip(ei, ej, es, eT):
+            Ti, Tj = poses[i], poses[j]
+            Rp = Ti[:, :3] @ Tj[:, :3].T
+            tp = Ti[:, 3] - Rp @ Tj[:, 3]
+            dt = float(np.sum((T[:, 3] - tp) ** 2))
+            tot += dt / (1.0 + float(np.sum(tp ** 2)))
+            # (no log-scale term: the edge's relative scale is constant
+            # in poses, so it would only dilute a before/after ratio)
+        return tot / len(ei)
 
     # ------------------------------------------------------------------
     # Finalisation: closure <-> global BA alternation, monotone

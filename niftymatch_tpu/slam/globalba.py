@@ -115,6 +115,26 @@ def run_global_ba(
     )
     if not (float(c1) <= float(c0)):
         return False
+    # Loop-edge consistency guard (round-5): accepted loop closures are
+    # geometric measurements INDEPENDENT of the reprojection problem.  A
+    # BA solve that lowers the robust cost while blowing up the loop
+    # edges' relative-pose residuals is re-fitting observation noise at
+    # the expense of global structure (measured on the reloc-load clip:
+    # GBA passed its cost gate while edge consistency rose 0.13 -> 1.01
+    # and Sim3 ATE rose 1.54 -> 2.41).  Reject such a solve.
+    closer = getattr(system, "closer", None)
+    if closer is not None and closer.last_loop_edges is not None:
+        before = closer.loop_edge_consistency(
+            np.stack([np.asarray(p) for p in jax.device_get(
+                [kf.pose for kf in system.keyframes])])
+        )
+        after = closer.loop_edge_consistency(poses_h[:K])
+        if (
+            before is not None
+            and after is not None
+            and after > max(3.0 * before, 0.01)
+        ):
+            return False
     for k, kf in enumerate(system.keyframes):
         kf.pose = jnp.asarray(poses_h[k])
     system.track_positions[active] = lms_h[:L]
