@@ -124,3 +124,61 @@ def test_finalize_never_worse():
     assert fin["rounds"]
     # Monotone: never worse than the state finalize started from.
     assert final <= post * 1.05 + 1e-9, (pre, post, final, fin)
+
+
+def test_loop_edge_consistency_metric():
+    """loop_edge_consistency is ~0 for edges measured from the poses
+    themselves and grows when a pose is perturbed."""
+    from niftymatch_tpu.slam.closure import LoopCloser
+
+    rng = np.random.default_rng(0)
+    K = 6
+    # Random valid SE(3) poses.
+    poses = []
+    for _ in range(K):
+        A = rng.normal(size=(3, 3))
+        q, _ = np.linalg.qr(A)
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        poses.append(np.concatenate([q, rng.normal(size=(3, 1))], 1))
+    poses = np.stack(poses).astype(np.float32)
+
+    def measure(i, j):
+        Ti, Tj = poses[i], poses[j]
+        R = Ti[:, :3] @ Tj[:, :3].T
+        t = Ti[:, 3] - R @ Tj[:, 3]
+        return np.concatenate([R, t[:, None]], 1).astype(np.float32)
+
+    closer = types.SimpleNamespace(
+        last_loop_edges=([5, 4], [0, 1], [1.0, 1.0],
+                         [measure(5, 0), measure(4, 1)]),
+    )
+    consistent = LoopCloser.loop_edge_consistency(closer, poses)
+    assert consistent < 1e-9, consistent
+    bad = poses.copy()
+    bad[5, :, 3] += 2.0
+    inconsistent = LoopCloser.loop_edge_consistency(closer, bad)
+    assert inconsistent > 0.1, inconsistent
+    # No applied closure -> None.
+    closer_none = types.SimpleNamespace(last_loop_edges=None)
+    assert LoopCloser.loop_edge_consistency(closer_none, poses) is None
+
+
+@pytest.mark.slow
+def test_global_ba_guard_keeps_consistent_solves():
+    """With an APPLIED closure on record, a benign global BA must still
+    be accepted (the guard only rejects solves that blow up the loop
+    edges), and close_loops must record last_loop_edges."""
+    scene, slam = _loop_slam(noise_px=1.0, seed=1)
+    n = slam.close_loops()
+    assert n > 0
+    assert slam.closer.last_loop_edges is not None
+    assert len(slam.closer.last_loop_edges[0]) == n
+    before = slam.closer.loop_edge_consistency(slam.poses())
+    assert before is not None and np.isfinite(before)
+    applied = slam.global_ba()
+    # On this clean synthetic clip BA refines without damaging the
+    # edges: the guard must not reject it.
+    assert applied
+    after = slam.closer.loop_edge_consistency(slam.poses())
+    assert after <= max(3.0 * before, 0.01)
