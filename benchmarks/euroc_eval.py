@@ -222,6 +222,11 @@ def main():
     result["ate_pct_of_extent"] = round(
         100.0 * result["ate_rmse_sim3"] / max(result["gt_extent"], 1e-9), 3
     )
+    # Provenance: hash of the package sources the run executed; checked
+    # against the tree by verify_bars.py (VERDICT r4 weak #1).
+    from niftymatch_tpu.utils.aot import _package_hash
+
+    result["package_hash"] = _package_hash()
     print(json.dumps(result))
     if args.golden:
         out = args.out or os.path.join(REPO, f"EUROC_r{args.round:02d}.json")

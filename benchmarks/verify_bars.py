@@ -91,6 +91,23 @@ def main() -> int:
     t = load("TPUTESTS_r05.json")
     checks.append(("hardware kernel tier green", t["ok"], t["summary"]))
 
+    # Provenance: the accuracy artifacts carry the package-source hash
+    # they were recorded under; recompute it from the tree so "artifact
+    # reflects the final source" is machine-checked, not asserted
+    # (VERDICT r4 weak #1 — three documents, three stories).
+    sys.path.insert(0, REPO)
+    from niftymatch_tpu.utils.aot import _package_hash
+
+    tree = _package_hash()
+    checks += [
+        ("ATE artifact recorded at the tree's package hash",
+         c.get("package_hash") == tree,
+         (c.get("package_hash"), tree)),
+        ("EuRoC artifact recorded at the tree's package hash",
+         e.get("package_hash") == tree,
+         (e.get("package_hash"), tree)),
+    ]
+
     failed = 0
     for name, ok, val in checks:
         print(("PASS " if ok else "FAIL "), name, "->", val)

@@ -734,26 +734,38 @@ class LoopCloser:
 
     def loop_edge_consistency(self, poses: np.ndarray) -> float | None:
         """Mean per-edge inconsistency of the last APPLIED loop edges
-        against ``poses`` (host math): normalised relative-translation
-        gap + squared log relative scale — the same measure that drives
-        the solver's iteration budget.  None when no applied closure
-        exists.  Loop edges are measurements INDEPENDENT of the map, so
-        an optimization that lowers reprojection cost while blowing this
-        up (measured: global BA on the reloc clip, 0.13 -> 1.01 while
-        its robust cost gate passed) is fitting noise at the expense of
-        global structure."""
+        against ``poses`` (host math): squared relative-translation gap,
+        normalised by the MAP scale (mean squared camera-centre spread).
+        None when no applied closure exists.
+
+        Loop edges connect spatially NEARBY keyframes (the camera has
+        returned), so normalising by the edge's own baseline ``|t_ij|``
+        makes the measure blow up on exactly the edges that matter: a
+        benign global-BA nudge of ~1 % of the map extent already reads
+        as a large fraction of a near-zero baseline (measured: every
+        GBA on every golden-clip variant rejected).  Map-scale
+        normalisation makes the unit "squared fraction of the map":
+        benign GBA ~1e-4, the catastrophic reloc-clip solve that raised
+        Sim3 ATE 1.54 -> 2.41 reads ~3e-2.  Loop edges are measurements
+        INDEPENDENT of the reprojection problem, so an optimization that
+        lowers robust cost while blowing this up is fitting observation
+        noise at the expense of global structure."""
         if self.last_loop_edges is None:
             return None
         ei, ej, es, eT = self.last_loop_edges
         if not ei:
             return None
+        # Map scale: mean squared distance of camera centres (-R^T t)
+        # from their centroid, from the SAME pose set being scored.
+        centers = np.stack([-(P[:, :3].T @ P[:, 3]) for P in poses])
+        s2 = max(float(np.mean(np.sum(
+            (centers - centers.mean(0)) ** 2, axis=-1))), 1e-12)
         tot = 0.0
         for i, j, s, T in zip(ei, ej, es, eT):
             Ti, Tj = poses[i], poses[j]
             Rp = Ti[:, :3] @ Tj[:, :3].T
             tp = Ti[:, 3] - Rp @ Tj[:, 3]
-            dt = float(np.sum((T[:, 3] - tp) ** 2))
-            tot += dt / (1.0 + float(np.sum(tp ** 2)))
+            tot += float(np.sum((T[:, 3] - tp) ** 2)) / s2
             # (no log-scale term: the edge's relative scale is constant
             # in poses, so it would only dilute a before/after ratio)
         return tot / len(ei)

@@ -123,18 +123,49 @@ def run_global_ba(
     # GBA passed its cost gate while edge consistency rose 0.13 -> 1.01
     # and Sim3 ATE rose 1.54 -> 2.41).  Reject such a solve.
     closer = getattr(system, "closer", None)
+    guard = None
     if closer is not None and closer.last_loop_edges is not None:
         before = closer.loop_edge_consistency(
             np.stack([np.asarray(p) for p in jax.device_get(
                 [kf.pose for kf in system.keyframes])])
         )
         after = closer.loop_edge_consistency(poses_h[:K])
-        if (
-            before is not None
-            and after is not None
-            and after > max(3.0 * before, 0.01)
-        ):
+        # Map-scale-normalised metric (see loop_edge_consistency).
+        # Tripping is NOT a verdict on the solve: a monocular global BA
+        # routinely refines structure while drifting the trajectory
+        # along weakly-constrained gauge directions (measured on every
+        # golden-clip variant: edge consistency 1e-7 -> 0.03-0.19,
+        # recoverable by re-closure on three of four, catastrophic on
+        # the reloc clip at a SMALLER metric value than the standard
+        # clip's recoverable one — no solve-time floor separates them).
+        # So: accept the solve, demand RECOVERY — re-run loop closure
+        # against the refined map; roll the whole round back only if
+        # re-closure cannot re-apply an accepted edge set.
+        guard = {
+            "edge_consistency_before": before,
+            "edge_consistency_after": after,
+            "tripped": bool(
+                before is not None
+                and after is not None
+                and after > max(3.0 * before, 0.01)
+            ),
+        }
+    if guard is not None and guard["tripped"]:
+        snap = closer.snapshot_map()
+        for k, kf in enumerate(system.keyframes):
+            kf.pose = jnp.asarray(poses_h[k])
+        system.track_positions[active] = lms_h[:L]
+        reapplied = int(system.close_loops())
+        guard["reclosure_edges"] = reapplied
+        if reapplied <= 0:
+            closer.restore_map(snap)
+            guard["rolled_back"] = True
+            system.last_gba_guard = guard
             return False
+        guard["rolled_back"] = False
+        system.last_gba_guard = guard
+        return True
+    system.last_gba_guard = guard
     for k, kf in enumerate(system.keyframes):
         kf.pose = jnp.asarray(poses_h[k])
     system.track_positions[active] = lms_h[:L]

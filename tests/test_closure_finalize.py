@@ -164,6 +164,60 @@ def test_loop_edge_consistency_metric():
     assert LoopCloser.loop_edge_consistency(closer_none, poses) is None
 
 
+def test_loop_edge_consistency_separates_benign_from_catastrophic():
+    """The guard floor (0.01, slam/globalba.py) must separate a benign
+    global-BA nudge (~1 % of the map scale) from map-scale corruption:
+    the metric is normalised by camera-centre spread, NOT the edge's own
+    near-zero loop baseline (which rejected every GBA when tried)."""
+    from niftymatch_tpu.slam.closure import LoopCloser
+
+    rng = np.random.default_rng(3)
+    K = 24
+    # Circular trajectory, radius 6 (map scale ~ 6): loop edge joins the
+    # spatially-adjacent endpoints, so its baseline is tiny (~1.6).
+    poses = []
+    for k in range(K):
+        th = 2 * np.pi * k / K
+        c, s = np.cos(th), np.sin(th)
+        R = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+        center = np.array([6.0 * c, 6.0 * s, 0.0])
+        t = -R @ center
+        poses.append(np.concatenate([R, t[:, None]], 1))
+    poses = np.stack(poses).astype(np.float64)
+
+    def measure(i, j):
+        Ti, Tj = poses[i], poses[j]
+        R = Ti[:, :3] @ Tj[:, :3].T
+        t = Ti[:, 3] - R @ Tj[:, 3]
+        return np.concatenate([R, t[:, None]], 1)
+
+    closer = types.SimpleNamespace(
+        last_loop_edges=([K - 1], [0], [1.0], [measure(K - 1, 0)]),
+    )
+    # Benign: jitter every pose translation by ~1 % of the map scale.
+    benign = poses.copy()
+    benign[:, :, 3] += rng.normal(scale=0.06, size=(K, 3))
+    m_benign = LoopCloser.loop_edge_consistency(closer, benign)
+    assert m_benign < 0.01, m_benign
+    # Catastrophic: drag the loop endpoint by half the map scale (the
+    # r4 reloc failure moved endpoints by ~1-2 units on a ~6 map).
+    bad = poses.copy()
+    bad[K - 1, :, 3] += 3.0
+    m_bad = LoopCloser.loop_edge_consistency(closer, bad)
+    assert m_bad > 0.01, m_bad
+    # Scale invariance: the metric is a fraction of the map, so a global
+    # rescale of poses + edges leaves it unchanged.
+    closer2x = types.SimpleNamespace(
+        last_loop_edges=([K - 1], [0], [1.0],
+                         [np.concatenate([measure(K - 1, 0)[:, :3],
+                                          2 * measure(K - 1, 0)[:, 3:]], 1)]),
+    )
+    bad2x = bad.copy()
+    bad2x[:, :, 3] *= 2.0
+    m_bad2x = LoopCloser.loop_edge_consistency(closer2x, bad2x)
+    np.testing.assert_allclose(m_bad2x, m_bad, rtol=1e-6)
+
+
 @pytest.mark.slow
 def test_global_ba_guard_keeps_consistent_solves():
     """With an APPLIED closure on record, a benign global BA must still
